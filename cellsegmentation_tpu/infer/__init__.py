@@ -1,0 +1,194 @@
+"""Batched inference orchestration + the stage-2 sampling cycle.
+
+Host loops around the jitted steps in train/steps.py. Device→host traffic is
+minimal: per-image scalars for stage 1, one [N, T] prob matrix for stage 2
+(the tile *images* never leave the device), soft masks for stage 3.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from cellsegmentation_tpu.data.batches import BatchIterator
+from cellsegmentation_tpu.data.lysto import LystoDataSource
+from cellsegmentation_tpu.ops.categorize import categorize_np, de_categorize_np
+from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.ops.topk import adaptive_topk_mask
+from cellsegmentation_tpu.train import steps as train_steps
+
+
+def apply_cls_limit(counts: np.ndarray, categories: np.ndarray) -> np.ndarray:
+    """Clamp regressed counts into the predicted class's count range
+    (reference: inference.py:78-86): if the count's bin exceeds the predicted
+    class, snap to the class's max; if below, snap to its min."""
+    counts = counts.astype(np.int64).copy()
+    cat_of_count = categorize_np(counts)
+    lo, hi = de_categorize_np(categories)
+    counts = np.where(cat_of_count > categories, hi, counts)
+    counts = np.where(cat_of_count < categories, lo, counts)
+    return counts
+
+
+def inference_image(
+    source,
+    infer_step,
+    variables,
+    batch_size: int = 64,
+    cls_limit: bool = False,
+    heads: str = "both",  # "both" | "cls" | "reg"
+):
+    """Run the image counter over a data source.
+
+    Returns (categories [N], counts [N]) like the reference's
+    inference_image (reference: inference.py:46-95); single-head variants
+    return only their output (:98-137).
+    """
+    n = len(source)
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    base_idx = getattr(source, "base_idx", np.arange(n))
+
+    categories = np.zeros(n, dtype=np.int64)
+    counts = np.zeros(n, dtype=np.int64)
+    it = BatchIterator(n, batch_size, shuffle=False)
+    for sel, valid in it:
+        images = source.images[base_idx[sel]]
+        probs, regs = infer_step(
+            variables, jnp.asarray(images), jnp.asarray(flip[sel])
+        )
+        probs = np.asarray(probs)
+        regs = np.asarray(regs)
+        keep = sel[valid]
+        categories[keep] = probs.argmax(axis=1)[valid]
+        counts[keep] = np.round(regs[valid]).astype(np.int64)
+
+    if cls_limit:
+        counts = apply_cls_limit(counts, categories)
+    if heads == "cls":
+        return categories
+    if heads == "reg":
+        return counts
+    return categories, counts
+
+
+def inference_tiles(
+    source,
+    infer_step,
+    variables,
+    tile_size: int,
+    interval: int,
+    image_batch: int = 64,
+) -> np.ndarray:
+    """Dense per-tile P(positive) for every image: returns [N, T] float32.
+
+    The flattened, reference-order equivalent of inference_tiles
+    (reference: inference.py:9-28) is ``probs.reshape(-1)`` since all images
+    share the static grid.
+    """
+    h, w = source.image_hw
+    coords = jnp.asarray(tile_grid(h, w, tile_size, interval))
+    n = len(source)
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    base_idx = getattr(source, "base_idx", np.arange(n))
+
+    out = np.zeros((n, coords.shape[0]), dtype=np.float32)
+    it = BatchIterator(n, image_batch, shuffle=False)
+    for sel, valid in it:
+        images = source.images[base_idx[sel]]
+        probs = infer_step(
+            variables, jnp.asarray(images), jnp.asarray(flip[sel]), coords
+        )
+        out[sel[valid]] = np.asarray(probs)[valid]
+    return out
+
+
+def sample_topk(
+    source: LystoDataSource,
+    probs: np.ndarray,
+    tile_size: int,
+    interval: int,
+    tiles_per_pos: int,
+    topk_neg: int,
+    pos_neg_ratio: Optional[float] = None,
+    seed: int = 0,
+) -> dict:
+    """Adaptive top-k selection + pos/neg-ratio pruning -> stage-2 train data.
+
+    Device: rank-mask top-k per image (ops/topk.py ≡ reference
+    inference.py:31-43). Host: binarize tile labels by the parent image's
+    count and prune the majority class to the requested ratio after a
+    shuffle (reference: dataset/dataset.py:166-201).
+
+    Returns {'img_idx', 'xs', 'ys', 'flip', 'label', 'n_pos', 'n_neg'}.
+    """
+    h, w = source.image_hw
+    coords = tile_grid(h, w, tile_size, interval)
+    labels = source.labels
+    mask = np.asarray(
+        adaptive_topk_mask(
+            jnp.asarray(probs), jnp.asarray(labels), tiles_per_pos, topk_neg
+        )
+    )
+
+    sample_idx, tile_idx = np.nonzero(mask)
+    img_idx = source.base_idx[sample_idx].astype(np.int32)
+    flip = source.flip_code[sample_idx].astype(np.int32)
+    xs = coords[tile_idx, 0].astype(np.int32)
+    ys = coords[tile_idx, 1].astype(np.int32)
+    tlabel = (labels[sample_idx] > 0).astype(np.int32)
+
+    order = np.random.default_rng(seed).permutation(len(tlabel))
+    img_idx, flip, xs, ys, tlabel = (
+        a[order] for a in (img_idx, flip, xs, ys, tlabel)
+    )
+
+    pos = int(tlabel.sum())
+    neg = len(tlabel) - pos
+    if pos_neg_ratio is not None:
+        if pos > int(neg * pos_neg_ratio):
+            excess, flag = pos - int(neg * pos_neg_ratio), 1
+        elif neg > int(pos / pos_neg_ratio):
+            excess, flag = neg - int(pos / pos_neg_ratio), 0
+        else:
+            excess, flag = 0, None
+        if excess:
+            drop = np.nonzero(tlabel == flag)[0][:excess]
+            keep = np.ones(len(tlabel), dtype=bool)
+            keep[drop] = False
+            img_idx, flip, xs, ys, tlabel = (
+                a[keep] for a in (img_idx, flip, xs, ys, tlabel)
+            )
+            pos = int(tlabel.sum())
+            neg = len(tlabel) - pos
+
+    return {
+        "img_idx": img_idx,
+        "xs": xs,
+        "ys": ys,
+        "flip": flip,
+        "label": tlabel,
+        "n_pos": pos,
+        "n_neg": neg,
+    }
+
+
+def inference_seg(
+    source,
+    infer_step,
+    variables,
+    batch_size: int = 16,
+) -> np.ndarray:
+    """Soft positive-class masks [N, H, W] (reference: inference.py:140-153)."""
+    n = len(source)
+    h, w = source.image_hw
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    base_idx = getattr(source, "base_idx", np.arange(n))
+    out = np.zeros((n, h, w), dtype=np.float32)
+    it = BatchIterator(n, batch_size, shuffle=False)
+    for sel, valid in it:
+        images = source.images[base_idx[sel]]
+        masks = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
+        out[sel[valid]] = np.asarray(masks)[valid]
+    return out

@@ -92,6 +92,74 @@ def _one_hot(x: jnp.ndarray, k: int) -> jnp.ndarray:
     )
 
 
+def _weighted_kappa(a, b, weight_fn, min_rating=None, max_rating=None) -> float:
+    a = np.asarray(a, dtype=int)
+    b = np.asarray(b, dtype=int)
+    if min_rating is None:
+        min_rating = int(min(a.min(), b.min()))
+    if max_rating is None:
+        max_rating = int(max(a.max(), b.max()))
+    k = max_rating - min_rating + 1
+    conf = np.zeros((k, k), dtype=np.float64)
+    np.add.at(conf, (a - min_rating, b - min_rating), 1)
+    idx = np.arange(k)
+    w = weight_fn(idx[:, None], idx[None, :], k)
+    n = conf.sum()
+    expected = np.outer(conf.sum(axis=1), conf.sum(axis=0)) / n
+    denom = (w * expected).sum()
+    return 1.0 if denom == 0 else float(1.0 - (w * conf).sum() / denom)
+
+
+def linear_weighted_kappa(rater_a, rater_b, min_rating=None, max_rating=None) -> float:
+    """|i-j| weights (reference: metrics/quadratic_weighted_kappa.py:88-134)."""
+    return _weighted_kappa(
+        rater_a, rater_b, lambda i, j, k: np.abs(i - j) / max(k - 1, 1),
+        min_rating, max_rating,
+    )
+
+
+def unweighted_kappa(rater_a, rater_b, min_rating=None, max_rating=None) -> float:
+    """0/1 disagreement weights (reference: metrics/quadratic_weighted_kappa.py:136-185)."""
+    return _weighted_kappa(
+        rater_a, rater_b, lambda i, j, k: (i != j).astype(float),
+        min_rating, max_rating,
+    )
+
+
+def mean_quadratic_weighted_kappa(kappas, weights=None) -> float:
+    """Fisher-z averaged kappas, capped to (-0.999, 0.999)
+    (reference: metrics/quadratic_weighted_kappa.py:188-214)."""
+    kappas = np.clip(np.asarray(kappas, dtype=float), -0.999, 0.999)
+    if weights is None:
+        weights = np.ones_like(kappas)
+    else:
+        weights = np.asarray(weights, dtype=float)
+        weights = weights / np.mean(weights)
+    z = np.mean(0.5 * np.log((1 + kappas) / (1 - kappas)) * weights)
+    return float((np.exp(2 * z) - 1) / (np.exp(2 * z) + 1))
+
+
+def weighted_mean_quadratic_weighted_kappa(labels, preds, groups, group_weights=None) -> float:
+    """Grouped QWK averaged in Fisher-z space.
+
+    Generalizes the reference's pandas-bound wmqwk (which hard-codes Kaggle
+    essay columns and the long-removed DataFrame.irow; reference:
+    metrics/quadratic_weighted_kappa.py:217-228) to plain arrays: compute one
+    QWK per group id and Fisher-average them.
+    """
+    labels = np.asarray(labels)
+    preds = np.asarray(preds)
+    groups = np.asarray(groups)
+    uniq = np.unique(groups)
+    kappas = [
+        quadratic_weighted_kappa(labels[groups == g], preds[groups == g]) for g in uniq
+    ]
+    weights = None
+    if group_weights is not None:
+        weights = [group_weights[g] for g in uniq]
+    return mean_quadratic_weighted_kappa(kappas, weights)
+
+
 def euclid_dist(p1, p2) -> float:
     """Euclidean distance between two points (reference: metrics/metrics.py:56-57)."""
     return float(np.sqrt(sum((d1 - d2) ** 2 for d1, d2 in zip(p1, p2))))

@@ -1,0 +1,249 @@
+"""Jitted train/eval steps for the three pipeline stages.
+
+One factory per stage returns a donated, jit-compiled step over static
+shapes. Batches carry validity masks (last-batch padding) so every epoch
+reuses one compiled program. Data parallelism is by input sharding: batches
+arrive sharded over the mesh 'data' axis (parallel/sharding.py) and XLA
+psums the gradients.
+
+Stage specs (reference: train/train.py):
+- image (stage 1): loss = alpha*CE(cls) + beta*MSE(reg), alpha=beta=1
+  (reference: train/train.py:80-83, train_image.py:284-285); single-head
+  variants for --reg_only / ensemble (:109-169);
+- tile (stage 2): CE over selected tiles with frozen encoder stats
+  (freeze_bn=True, reference: train/train.py:33);
+- segment (stage 3): CE computed for logging but loss = dice only
+  (reference: train/train.py:188-195).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cellsegmentation_tpu.data.batches import normalize_images
+from cellsegmentation_tpu.models.milnet import MILNet
+from cellsegmentation_tpu.ops import losses
+from cellsegmentation_tpu.ops.tiles import extract_tiles
+from cellsegmentation_tpu.train.state import MILTrainState
+
+
+def _masked_mean(values: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    valid = valid.astype(jnp.float32)
+    return jnp.sum(values * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+
+
+def _dropout_rng(base_rng: jnp.ndarray, step: jnp.ndarray) -> jnp.ndarray:
+    return jax.random.fold_in(base_rng, step)
+
+
+def _flip_tiles(tiles: jnp.ndarray, flip_codes: jnp.ndarray) -> jnp.ndarray:
+    """Flip tile *content* per sample — the reference augments the sliced
+    tile, not the parent image (reference: dataset/dataset.py:210-211)."""
+    do_h = ((flip_codes == 1) | (flip_codes == 3))[:, None, None, None]
+    do_v = ((flip_codes == 2) | (flip_codes == 3))[:, None, None, None]
+    tiles = jnp.where(do_h, tiles[:, :, ::-1, :], tiles)
+    return jnp.where(do_v, tiles[:, ::-1, :, :], tiles)
+
+
+# --------------------------------------------------------------------------
+# Stage 1 — image-wise counter
+# --------------------------------------------------------------------------
+
+def make_image_train_step(
+    model: MILNet,
+    alpha: float = 1.0,
+    beta: float = 1.0,
+    heads: str = "both",  # "both" | "cls" | "reg"
+):
+    """Step over batches {images: u8 [B,H,W,3], flip, cls, reg, valid}."""
+
+    def loss_fn(params, batch_stats, batch, rng):
+        x = normalize_images(batch["images"], batch["flip"])
+        (out_cls, out_reg), mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            mode="image",
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        valid = batch["valid"]
+        logp = jax.nn.log_softmax(out_cls.astype(jnp.float32), axis=-1)
+        ce_each = -jnp.take_along_axis(
+            logp, batch["cls"][:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        ce = _masked_mean(ce_each, valid)
+        se_each = (out_reg[:, 0].astype(jnp.float32) - batch["reg"].astype(jnp.float32)) ** 2
+        se = _masked_mean(se_each, valid)
+        if heads == "cls":
+            loss = alpha * ce
+        elif heads == "reg":
+            loss = beta * se
+        else:
+            loss = alpha * ce + beta * se
+        return loss, (mutated["batch_stats"], ce, se)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: MILTrainState, batch: dict, base_rng: jnp.ndarray):
+        rng = _dropout_rng(base_rng, state.step)
+        grads, (new_stats, ce, se) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_stats)
+        metrics = {"loss_cls": ce, "loss_reg": se, "loss": alpha * ce + beta * se}
+        return new_state, metrics
+
+    return step
+
+
+def make_image_infer_step(model: MILNet):
+    """(variables, images u8, flip) -> (cls_probs [B,7], counts [B] f32)."""
+
+    @jax.jit
+    def infer(variables, images, flip):
+        x = normalize_images(images, flip)
+        out_cls, out_reg = model.apply(variables, x, mode="image", train=False)
+        probs = jax.nn.softmax(out_cls.astype(jnp.float32), axis=-1)
+        return probs, out_reg[:, 0].astype(jnp.float32)
+
+    return infer
+
+
+# --------------------------------------------------------------------------
+# Stage 2 — MIL tile classifier
+# --------------------------------------------------------------------------
+
+def make_tile_infer_step(model: MILNet, tile_size: int):
+    """Dense tile inference over whole images resident on device.
+
+    (variables, images u8 [G,H,W,3], flip [G], coords [T,2]) -> probs [G,T]
+    = softmax P(positive) per tile (reference: inference.py:9-28). Tiles are
+    extracted on device, flipped per the parent sample's augmentation code,
+    and batched as one [G*T] forward so the MXU sees a single large conv
+    batch.
+    """
+
+    @functools.partial(jax.jit, static_argnums=())
+    def infer(variables, images, flip, coords):
+        g = images.shape[0]
+        tiles = extract_tiles(images, coords, tile_size)  # [G,T,ts,ts,3] u8
+        t = tiles.shape[1]
+        flat = tiles.reshape(g * t, tile_size, tile_size, 3)
+        flip_per_tile = jnp.repeat(flip, t)
+        x = normalize_images(flat, flip_per_tile)
+        logits = model.apply(variables, x, mode="tile", train=False)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        return probs.reshape(g, t)
+
+    return infer
+
+
+def make_tile_train_step(model: MILNet, tile_size: int, gamma: float = 1.0):
+    """CE training over selected tiles gathered from device-resident images.
+
+    batch: {img_idx [B], xs [B], ys [B], flip [B], label [B], valid [B]};
+    images_dev: the full uint8 image stack (sharded or replicated).
+    Encoder batch stats are frozen (the freeze_bn trick) and only fc_tile
+    gets optimizer updates (reference: train/train.py:12-48).
+    """
+
+    def gather_tiles(images_dev, img_idx, xs, ys):
+        def one(i, x, y):
+            return jax.lax.dynamic_slice(
+                images_dev, (i, x, y, 0), (1, tile_size, tile_size, 3)
+            )[0]
+
+        return jax.vmap(one)(img_idx, xs, ys)
+
+    def loss_fn(params, batch_stats, images_dev, batch):
+        tiles = gather_tiles(images_dev, batch["img_idx"], batch["xs"], batch["ys"])
+        tiles = _flip_tiles(tiles, batch["flip"])
+        x = normalize_images(tiles, jnp.zeros_like(batch["flip"]))
+        logits = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            mode="tile",
+            train=True,
+            freeze_encoder_stats=True,
+        )
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        ce_each = -jnp.take_along_axis(
+            logp, batch["label"][:, None].astype(jnp.int32), axis=-1
+        )[:, 0]
+        ce = _masked_mean(ce_each, batch["valid"])
+        return gamma * ce, ce
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: MILTrainState, images_dev, batch: dict):
+        grads, ce = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, images_dev, batch
+        )
+        new_state = state.apply_gradients(grads, state.batch_stats)
+        return new_state, {"loss": ce}
+
+    return step
+
+
+# --------------------------------------------------------------------------
+# Stage 3 — segmentation decoder
+# --------------------------------------------------------------------------
+
+def make_seg_train_step(model: MILNet):
+    """batch: {images u8 [B,H,W,3], flip, mask [B,H,W] (0/1), valid}.
+
+    Loss is dice on softmax channel 1; CE is returned for logging parity
+    (reference: train/train.py:188-195). Encoder params frozen but its batch
+    stats update (reference trains in module.train() mode).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng):
+        x = normalize_images(batch["images"], batch["flip"])
+        seg_logits, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            mode="segment",
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": rng},
+        )
+        probs_pos = jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)[..., 1]
+        mask = batch["mask"].astype(jnp.float32)
+        valid = batch["valid"].astype(jnp.float32)
+        dice_each = 1 - losses.dice_coef(probs_pos, mask)  # [B]
+        dice = jnp.sum(dice_each * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        # CE for logging (per-pixel, masked over valid samples)
+        logp = jax.nn.log_softmax(seg_logits.astype(jnp.float32), axis=-1)
+        ce_map = -jnp.take_along_axis(
+            logp, batch["mask"][..., None].astype(jnp.int32), axis=-1
+        )[..., 0]
+        ce_each = jnp.mean(ce_map, axis=(1, 2))
+        ce = jnp.sum(ce_each * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+        return dice, (mutated["batch_stats"], ce, dice)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: MILTrainState, batch: dict, base_rng: jnp.ndarray):
+        rng = _dropout_rng(base_rng, state.step)
+        grads, (new_stats, ce, dice) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, rng
+        )
+        new_state = state.apply_gradients(grads, new_stats)
+        return new_state, {"loss_ce": ce, "loss_dice": dice, "loss": dice}
+
+    return step
+
+
+def make_seg_infer_step(model: MILNet):
+    """(variables, images u8, flip) -> P(positive) mask [B,H,W]
+    (reference: inference.py:140-153, test mode takes softmax channel 1)."""
+
+    @jax.jit
+    def infer(variables, images, flip):
+        x = normalize_images(images, flip)
+        seg_logits = model.apply(variables, x, mode="segment", train=False)
+        return jax.nn.softmax(seg_logits.astype(jnp.float32), axis=-1)[..., 1]
+
+    return infer

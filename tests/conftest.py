@@ -7,6 +7,7 @@ Must set platform/device-count env vars before jax is imported anywhere
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # mute XLA AOT-cache chatter
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

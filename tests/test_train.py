@@ -1,0 +1,240 @@
+"""Training layer tests: masked updates, steps, schedules, checkpoints."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellsegmentation_tpu.core.dtypes import F32_POLICY
+from cellsegmentation_tpu.models import build_model, init_variables
+from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.train import (
+    checkpoint,
+    create_train_state,
+    make_schedule,
+    steps,
+)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = build_model("resnet18", policy=F32_POLICY)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    # host-side copies: train steps donate their state buffers, so the shared
+    # fixture must hand out arrays that can never be invalidated by donation
+    return model, jax.tree_util.tree_map(np.asarray, variables)
+
+
+def _image_batch(rng, b=4, hw=32):
+    return {
+        "images": jnp.asarray(
+            rng.integers(0, 255, size=(b, hw, hw, 3), dtype=np.uint8)
+        ),
+        "flip": jnp.zeros((b,), jnp.int32),
+        "cls": jnp.asarray(rng.integers(0, 7, size=b)),
+        "reg": jnp.asarray(rng.integers(0, 30, size=b).astype(np.float32)),
+        "valid": jnp.ones((b,), bool),
+    }
+
+
+class TestStage1Step:
+    def test_updates_only_image_partitions(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        sched = make_schedule(None, 1e-3, 10, 5)
+        state = create_train_state(
+            variables["params"], variables["batch_stats"], "image", sched
+        )
+        step = steps.make_image_train_step(model)
+        new_state, metrics = step(state, _image_batch(rng), jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss"]))
+
+        def changed(a, b):
+            return any(
+                not np.allclose(x, y)
+                for x, y in zip(
+                    jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)
+                )
+            )
+
+        p0, p1 = variables["params"], new_state.params
+        assert changed(p0["encoder"], p1["encoder"])
+        assert changed(p0["fc_image_cls"], p1["fc_image_cls"])
+        assert changed(p0["fc_image_reg"], p1["fc_image_reg"])
+        # frozen partitions bit-identical (reference: setmode('image') turns
+        # off tile/seg grads, model/resnet.py:320-324)
+        assert not changed(p0["fc_tile"], p1["fc_tile"])
+        assert not changed(p0["seg_decoder"], p1["seg_decoder"])
+
+    def test_loss_decreases_on_fixed_batch(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        sched = make_schedule(None, 1e-3, 10, 5)
+        state = create_train_state(
+            variables["params"], variables["batch_stats"], "image", sched
+        )
+        step = steps.make_image_train_step(model)
+        batch = _image_batch(rng, b=8)
+        first = None
+        for i in range(8):
+            state, metrics = step(state, batch, jax.random.PRNGKey(42))
+            if first is None:
+                first = float(metrics["loss"])
+        assert float(metrics["loss"]) < first
+
+    def test_padding_mask_excluded(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        sched = make_schedule(None, 1e-3, 10, 5)
+        step = steps.make_image_train_step(model)
+        batch = _image_batch(rng, b=4)
+        # poison the padded sample; metrics must be unaffected
+        state1 = create_train_state(
+            variables["params"], variables["batch_stats"], "image", sched
+        )
+        valid = jnp.asarray([True, True, True, False])
+        b1 = dict(batch, valid=valid)
+        _, m1 = step(state1, b1, jax.random.PRNGKey(0))
+        poisoned = np.asarray(batch["reg"]).copy()
+        poisoned[3] = 1e6
+        state2 = create_train_state(
+            variables["params"], variables["batch_stats"], "image", sched
+        )
+        b2 = dict(batch, valid=valid, reg=jnp.asarray(poisoned))
+        _, m2 = step(state2, b2, jax.random.PRNGKey(0))
+        assert float(m1["loss_reg"]) == pytest.approx(float(m2["loss_reg"]), rel=1e-6)
+
+
+class TestStage2Step:
+    def test_tile_step_freezes_encoder(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        sched = make_schedule(None, 1e-3, 10, 5)
+        state = create_train_state(
+            variables["params"], variables["batch_stats"], "tile", sched
+        )
+        step = steps.make_tile_train_step(model, tile_size=16)
+        images_dev = jnp.asarray(
+            rng.integers(0, 255, size=(3, 64, 64, 3), dtype=np.uint8)
+        )
+        batch = {
+            "img_idx": jnp.asarray([0, 1, 2, 0], jnp.int32),
+            "xs": jnp.asarray([0, 16, 32, 48], jnp.int32),
+            "ys": jnp.asarray([0, 8, 16, 48], jnp.int32),
+            "flip": jnp.asarray([0, 1, 2, 3], jnp.int32),
+            "label": jnp.asarray([0, 1, 1, 0], jnp.int32),
+            "valid": jnp.ones(4, bool),
+        }
+        new_state, metrics = step(state, images_dev, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        # only fc_tile moves; encoder params AND batch stats frozen
+        for part in ("encoder", "fc_image_cls", "fc_image_reg", "seg_decoder"):
+            for a, b in zip(
+                jax.tree_util.tree_leaves(variables["params"][part]),
+                jax.tree_util.tree_leaves(new_state.params[part]),
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        tile_changed = any(
+            not np.allclose(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(variables["params"]["fc_tile"]),
+                jax.tree_util.tree_leaves(new_state.params["fc_tile"]),
+            )
+        )
+        assert tile_changed
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables["batch_stats"]),
+            jax.tree_util.tree_leaves(new_state.batch_stats),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestStage3Step:
+    def test_seg_step_trains_decoder_only(self, model_and_vars, rng):
+        model, variables = model_and_vars
+        sched = make_schedule(None, 1e-3, 10, 5)
+        state = create_train_state(
+            variables["params"], variables["batch_stats"], "segment", sched
+        )
+        step = steps.make_seg_train_step(model)
+        batch = {
+            "images": jnp.asarray(
+                rng.integers(0, 255, size=(2, 32, 32, 3), dtype=np.uint8)
+            ),
+            "flip": jnp.zeros((2,), jnp.int32),
+            "mask": jnp.asarray(rng.integers(0, 2, size=(2, 32, 32)), jnp.int32),
+            "valid": jnp.ones((2,), bool),
+        }
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert 0 <= float(metrics["loss_dice"]) <= 1
+        assert float(metrics["loss_ce"]) > 0
+        # encoder params frozen...
+        for a, b in zip(
+            jax.tree_util.tree_leaves(variables["params"]["encoder"]),
+            jax.tree_util.tree_leaves(new_state.params["encoder"]),
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # ...but encoder batch stats update (reference stage-3 trains in
+        # module.train() mode; train/train.py:172-207)
+        stats_changed = any(
+            not np.allclose(a, b)
+            for a, b in zip(
+                jax.tree_util.tree_leaves(variables["batch_stats"]["encoder"]),
+                jax.tree_util.tree_leaves(new_state.batch_stats["encoder"]),
+            )
+        )
+        assert stats_changed
+
+
+class TestSchedules:
+    def test_onecycle_peaks_at_lr(self):
+        sched = make_schedule("OneCycleLR", 1e-3, epochs=10, steps_per_epoch=10)
+        vals = [float(sched(s)) for s in range(100)]
+        assert max(vals) == pytest.approx(1e-3, rel=1e-2)
+        assert vals[0] == pytest.approx(1e-3 / 25.0, rel=1e-2)
+
+    def test_exponential_steps_per_epoch(self):
+        sched = make_schedule("ExponentialLR", 1.0, epochs=5, steps_per_epoch=7)
+        assert float(sched(0)) == pytest.approx(1.0)
+        assert float(sched(6)) == pytest.approx(1.0)  # same epoch
+        assert float(sched(7)) == pytest.approx(0.9)
+        assert float(sched(14)) == pytest.approx(0.81)
+
+    def test_cosine_warm_restarts(self):
+        sched = make_schedule(
+            "CosineAnnealingWarmRestarts", 1.0, epochs=30, steps_per_epoch=1
+        )
+        assert float(sched(0)) == pytest.approx(1.0)
+        assert float(sched(10)) == pytest.approx(1.0)  # restart at T_0=10
+        assert float(sched(5)) == pytest.approx(0.5, abs=1e-6)
+
+
+class TestCheckpoint:
+    def test_roundtrip_and_stage_handoff(self, model_and_vars, tmp_path):
+        model, variables = model_and_vars
+        params, stats = variables["params"], variables["batch_stats"]
+        path = checkpoint.save_checkpoint(
+            str(tmp_path), "image", 3, "resnet18", params, stats, step=120
+        )
+        assert path.endswith("pt1_3epochs.ckpt")
+        ckpt = checkpoint.load_checkpoint(path)
+        assert ckpt["mode"] == "image" and ckpt["encoder"] == "resnet18"
+        # stage-1 file excludes tile/seg heads (reference: train_image.py:374-376)
+        assert set(ckpt["state_dict"]["params"]) == {
+            "encoder",
+            "fc_image_cls",
+            "fc_image_reg",
+        }
+
+        # handoff: restore into a freshly seeded tree; encoder comes from the
+        # file, fc_tile stays freshly initialized
+        fresh = init_variables(model, jax.random.PRNGKey(7))
+        rp, rs = checkpoint.restore_into(
+            fresh["params"], fresh["batch_stats"], ckpt
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rp["encoder"]["conv1"]["kernel"]),
+            np.asarray(params["encoder"]["conv1"]["kernel"]),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(rp["fc_tile"]["Dense_0"]["kernel"]),
+            np.asarray(fresh["params"]["fc_tile"]["Dense_0"]["kernel"]),
+        )
