@@ -28,7 +28,7 @@ def main() -> None:
     from cellsegmentation_tpu.train import steps as steps_mod
 
     TILE_SIZE, INTERVAL, HW = 32, 20, 299
-    IMAGE_BATCH = 64  # 64 images/step × 225 tiles = 14400-tile forward
+    IMAGE_BATCH = 128  # 128 images/step × 225 tiles = 28800-tile forward
 
     model = build_model("resnet50")
     variables = init_variables(model, jax.random.PRNGKey(0))
@@ -38,23 +38,28 @@ def main() -> None:
     tiles_per_image = int(coords.shape[0])
 
     rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.integers(0, 255, size=(IMAGE_BATCH, HW, HW, 3), dtype=np.uint8)
-    )
+    batches = [
+        jnp.asarray(rng.integers(0, 255, size=(IMAGE_BATCH, HW, HW, 3), dtype=np.uint8))
+        for _ in range(4)
+    ]
     flip = jnp.zeros((IMAGE_BATCH,), jnp.int32)
 
-    # compile + warmup
-    infer_fn(variables, images, flip, coords).block_until_ready()
-    infer_fn(variables, images, flip, coords).block_until_ready()
+    def run(n_steps: int) -> float:
+        """Time n_steps; force execution with ONE scalar fetch (the axon
+        tunnel's block_until_ready does not actually block, and fetching the
+        full prob matrix would measure tunnel bandwidth, not compute)."""
+        start = time.perf_counter()
+        sums = []
+        for i in range(n_steps):
+            probs = infer_fn(variables, batches[i % len(batches)], flip, coords)
+            sums.append(jnp.sum(probs))
+        float(jnp.stack(sums).sum())  # single 4-byte sync point
+        return time.perf_counter() - start
 
-    n_steps = 10
-    start = time.perf_counter()
-    for _ in range(n_steps):
-        probs = infer_fn(variables, images, flip, coords)
-    probs.block_until_ready()
-    elapsed = time.perf_counter() - start
-
-    images_per_sec = n_steps * IMAGE_BATCH / elapsed
+    run(2)  # compile + warmup
+    run(2)
+    elapsed = min(run(10) for _ in range(3))
+    images_per_sec = 10 * IMAGE_BATCH / elapsed
     baseline = 5000.0  # BASELINE.json: ≥5k 299² img-equiv tiles/s/chip
     print(
         json.dumps(
