@@ -34,6 +34,18 @@ class Stage1Result:
     last_metrics: Optional[tuple] = None  # (mAP, mse, qwk)
 
 
+@dataclasses.dataclass
+class Stage2Result:
+    state: MILTrainState
+    last_metrics: Optional[tuple] = None  # (err, fpr, fnr)
+
+
+@dataclasses.dataclass
+class Stage3Result:
+    state: MILTrainState
+    last_loss: Optional[float] = None
+
+
 def _device_batch(batch: dict, mesh=None) -> dict:
     if mesh is not None:
         return shard_batch(mesh, batch)
@@ -184,3 +196,316 @@ def train_stage1(
             raise
 
     return Stage1Result(state=state, last_metrics=last_metrics)
+
+
+def train_stage2(
+    model: MILNet,
+    variables: dict,
+    train_source: LystoDataSource,
+    val_source: Optional[LystoDataSource],
+    *,
+    epochs: int = 30,
+    tile_batch_size: int = 40960,
+    image_batch: int = 128,
+    tile_size: int = 32,
+    interval: int = 20,
+    tiles_per_pos: int = 1,
+    topk_neg: int = 30,
+    pos_neg_ratio: Optional[float] = 0.5,
+    threshold: float = 0.95,
+    lr: float = 5e-5,
+    weight_decay: float = 1e-4,
+    scheduler: Optional[str] = None,
+    test_every: int = 1,
+    encoder_name: str = "resnet50",
+    output_dir: Optional[str] = None,
+    logger: Optional[RunLogger] = None,
+    mesh=None,
+    seed: int = 42,
+    last_epoch: int = 0,
+) -> Stage2Result:
+    """PT.2 MIL tile-classifier training — the adaptive top-k cycle
+    (reference: train_tile.py:71-156 + SURVEY §3.2).
+
+    Per epoch: dense tile inference over every training image (HOT LOOP #2)
+    → count-driven top-k selection + ratio pruning → CE training on the
+    selected tiles with frozen encoder (HOT LOOP #3). Validation scores
+    dense val probs against count-derived tile labels. The checkpoint is
+    written at the final epoch only, like the reference (:149-150).
+
+    TPU shape: training images are uploaded to HBM once; inference batches
+    and training-tile gathers never touch the host (only the [N, T] prob
+    matrix and the selected-coordinate table cross PCIe).
+    """
+    import jax
+
+    logger = logger or RunLogger(output_dir or "./output")
+    infer_fn = steps_mod.make_tile_infer_step(model, tile_size)
+    step_fn = steps_mod.make_tile_train_step(model, tile_size)
+
+    # one-time HBM upload of the deduplicated image stack
+    images_dev = jnp.asarray(train_source.images)
+    h, w = train_source.image_hw
+    coords = jnp.asarray(tile_grid(h, w, tile_size, interval))
+
+    # Schedules are step-functions; the per-epoch batch count varies with the
+    # selection, so size the schedule from a nominal epoch length.
+    nominal_steps = max(
+        1, (len(train_source) * (topk_neg + 1)) // tile_batch_size
+    )
+    schedule = make_schedule(scheduler, lr, epochs, nominal_steps)
+    state = create_train_state(
+        variables["params"],
+        variables["batch_stats"],
+        "tile",
+        schedule,
+        use_sgd=scheduler is not None,
+        weight_decay=weight_decay,
+    )
+
+    def dense_probs(source) -> np.ndarray:
+        """[N, T] tile probs with images streamed from the resident stack
+        (falls back to host gather for sources other than train_source)."""
+        n = len(source)
+        flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+        base_idx = getattr(source, "base_idx", np.arange(n))
+        out = np.zeros((n, coords.shape[0]), dtype=np.float32)
+        it = BatchIterator(n, image_batch, shuffle=False)
+        for sel, valid in it:
+            if source is train_source:
+                imgs = images_dev[jnp.asarray(base_idx[sel])]
+            else:
+                imgs = jnp.asarray(source.images[base_idx[sel]])
+            probs = infer_fn(state.variables, imgs, jnp.asarray(flip[sel]), coords)
+            out[sel[valid]] = np.asarray(probs)[valid]
+        return out
+
+    last_metrics = None
+    for epoch in range(1 + last_epoch, epochs + 1):
+        try:
+            # 1) dense inference over every training tile
+            probs = dense_probs(train_source)
+            # 2) adaptive top-k selection + ratio pruning
+            train_data = infer.sample_topk(
+                train_source, probs, tile_size, interval,
+                tiles_per_pos, topk_neg, pos_neg_ratio, seed=seed + epoch,
+            )
+            logger.info(
+                f"[stage2 epoch {epoch}/{epochs}] sampled pos={train_data['n_pos']} "
+                f"neg={train_data['n_neg']}"
+            )
+            # 3) CE training over the selected tiles
+            n_sel = len(train_data["label"])
+            it = BatchIterator(n_sel, min(tile_batch_size, max(n_sel, 1)),
+                               shuffle=True, seed=seed + epoch)
+            loss_sum, n_batches = 0.0, 0
+            for sel, valid in it:
+                batch = _device_batch(
+                    {
+                        "img_idx": train_data["img_idx"][sel],
+                        "xs": train_data["xs"][sel],
+                        "ys": train_data["ys"][sel],
+                        "flip": train_data["flip"][sel],
+                        "label": train_data["label"][sel],
+                        "valid": valid,
+                    },
+                    mesh,
+                )
+                state, metrics = step_fn(state, images_dev, batch)
+                loss_sum += float(metrics["loss"])
+                n_batches += 1
+            loss = loss_sum / max(n_batches, 1)
+            logger.info(f"  tile loss: {loss:.4f}")
+            logger.csv_row("tile-training", ["epoch", "tile_loss"], [epoch, loss])
+            logger.scalar("tile/loss", loss, epoch)
+
+            if val_source is not None and epoch % test_every == 0:
+                val_probs = infer.inference_tiles(
+                    val_source, infer_fn, state.variables, tile_size, interval,
+                    image_batch=image_batch,
+                )
+                m = eval_mod.evaluate_tile(
+                    val_source.labels, val_probs, tiles_per_pos, threshold
+                )
+                last_metrics = m
+                logger.info(
+                    f"  tile error: {m[0]:.4f} | FPR: {m[1]:.4f} | FNR: {m[2]:.4f}"
+                )
+                logger.csv_row(
+                    "tile-validation",
+                    ["epoch", "tile_error", "tile_fpr", "tile_fnr"],
+                    [epoch, *m],
+                )
+                logger.scalars(
+                    {"tile/err": m[0], "tile/fpr": m[1], "tile/fnr": m[2]}, epoch
+                )
+
+            if output_dir and epoch >= epochs:
+                ckpt_mod.save_checkpoint(
+                    output_dir, "tile", epoch, encoder_name,
+                    state.params, state.batch_stats, step=int(state.step),
+                )
+        except KeyboardInterrupt:
+            if output_dir:
+                ckpt_mod.save_checkpoint(
+                    output_dir, "tile", epoch, encoder_name,
+                    state.params, state.batch_stats, step=int(state.step),
+                )
+            logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
+            raise
+
+    return Stage2Result(state=state, last_metrics=last_metrics)
+
+
+def draw_pseudo_masks(
+    model: MILNet,
+    variables: dict,
+    source,
+    *,
+    tile_size: int = 16,
+    interval: int = 5,
+    threshold: float = 0.95,
+    image_batch: int = 64,
+    preprocess: bool = False,
+    output_path: Optional[str] = None,
+    logger: Optional[RunLogger] = None,
+) -> np.ndarray:
+    """Stage-3 pseudo-mask generation (reference: train_seg.py:219-276).
+
+    Dense tile inference on the 16/5 grid → keep tiles with prob > threshold
+    → artifact clearing (drop tiles on images whose predicted count is 0,
+    via the image head) → paint tile blocks (+ optional HSV refinement).
+    Returns [N, H, W] uint8 masks.
+    """
+    from cellsegmentation_tpu.postprocess.masks import generate_masks
+
+    logger = logger or RunLogger(output_path or "./output")
+    infer_tiles_fn = steps_mod.make_tile_infer_step(model, tile_size)
+    probs = infer.inference_tiles(
+        source, infer_tiles_fn, variables, tile_size, interval,
+        image_batch=image_batch,
+    )  # [N, T]
+    keep = probs > threshold  # (reference rank(): lexsort + prob filter)
+
+    # artifact clearing: predicted count == 0 → drop the whole image's tiles
+    infer_image_fn = steps_mod.make_image_infer_step(model)
+    _, counts = infer.inference_image(
+        source, infer_image_fn, variables, batch_size=image_batch
+    )
+    keep &= (counts != 0)[:, None]
+
+    h, w = source.image_hw
+    coords = tile_grid(h, w, tile_size, interval)
+    groups, tile_idx = np.nonzero(keep)
+    tiles_xy = coords[tile_idx]
+    logger.info(
+        f"pseudo-masks: {keep.sum()} tiles kept on "
+        f"{len(np.unique(groups))}/{len(source)} images"
+    )
+    base_idx = getattr(source, "base_idx", np.arange(len(source)))
+    images = source.images[base_idx]
+    return generate_masks(
+        images,
+        groups,
+        tiles_xy,
+        tile_size,
+        preprocess=preprocess,
+        save_masks=output_path is not None,
+        output_path=output_path or "./data/pseudomask",
+    )
+
+
+def train_stage3(
+    model: MILNet,
+    variables: dict,
+    mask_source,
+    *,
+    epochs: int = 30,
+    batch_size: int = 32,
+    lr: float = 5e-5,
+    weight_decay: float = 1e-4,
+    scheduler: Optional[str] = None,
+    encoder_name: str = "resnet50",
+    output_dir: Optional[str] = None,
+    logger: Optional[RunLogger] = None,
+    mesh=None,
+    seed: int = 42,
+    last_epoch: int = 0,
+) -> Stage3Result:
+    """PT.3 segmentation-decoder training (reference: train_seg.py:75-151).
+
+    Dice loss on the positive softmax channel; CE logged alongside; decoder
+    params train, encoder stats update; checkpoint at the final epoch.
+    """
+    logger = logger or RunLogger(output_dir or "./output")
+    it = BatchIterator(len(mask_source), batch_size, shuffle=True, seed=seed)
+    schedule = make_schedule(scheduler, lr, epochs, len(it))
+    state = create_train_state(
+        variables["params"],
+        variables["batch_stats"],
+        "segment",
+        schedule,
+        use_sgd=scheduler is not None,
+        weight_decay=weight_decay,
+    )
+    step_fn = steps_mod.make_seg_train_step(model)
+    base_rng = jax.random.PRNGKey(seed)
+    aug_rng = np.random.default_rng(seed)
+
+    last_loss = None
+    for epoch in range(1 + last_epoch, epochs + 1):
+        try:
+            sums = {}
+            n_batches = 0
+            for sel, valid in it:
+                flips = (
+                    aug_rng.integers(0, 4, size=len(sel)).astype(np.int32)
+                    if mask_source.augment
+                    else np.zeros(len(sel), dtype=np.int32)
+                )
+                masks = mask_source.masks[sel]
+                # flip masks to match the on-device image flips
+                mh = (flips == 1) | (flips == 3)
+                mv = (flips == 2) | (flips == 3)
+                masks = np.where(mh[:, None, None], masks[:, :, ::-1], masks)
+                masks = np.where(mv[:, None, None], masks[:, ::-1, :], masks)
+                batch = _device_batch(
+                    {
+                        "images": mask_source.images[sel],
+                        "flip": flips,
+                        "mask": masks.astype(np.int32),
+                        "valid": valid,
+                    },
+                    mesh,
+                )
+                state, metrics = step_fn(state, batch, base_rng)
+                for k, v in metrics.items():
+                    sums[k] = sums.get(k, 0.0) + float(v)
+                n_batches += 1
+            means = {k: v / max(n_batches, 1) for k, v in sums.items()}
+            last_loss = means.get("loss")
+            logger.info(
+                f"[stage3 epoch {epoch}/{epochs}] "
+                + " | ".join(f"{k}: {v:.4f}" for k, v in means.items())
+            )
+            logger.csv_row(
+                "seg-training", ["epoch", "seg_loss_ce", "seg_loss_dice"],
+                [epoch, means.get("loss_ce", 0), means.get("loss_dice", 0)],
+            )
+            logger.scalars({f"seg/{k}": v for k, v in means.items()}, epoch)
+
+            if output_dir and epoch >= epochs:
+                ckpt_mod.save_checkpoint(
+                    output_dir, "segment", epoch, encoder_name,
+                    state.params, state.batch_stats, step=int(state.step),
+                )
+        except KeyboardInterrupt:
+            if output_dir:
+                ckpt_mod.save_checkpoint(
+                    output_dir, "segment", epoch, encoder_name,
+                    state.params, state.batch_stats, step=int(state.step),
+                )
+            logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
+            raise
+
+    return Stage3Result(state=state, last_loss=last_loss)
