@@ -153,6 +153,66 @@ class LystoDataSource:
         self.labels = np.concatenate([self.labels, labels])
 
 
+class SubsetSource:
+    """A sample-index view over a LystoDataSource sharing its image stack."""
+
+    def __init__(self, base: "LystoDataSource", sample_indices: Sequence[int]):
+        sample_indices = np.asarray(sample_indices)
+        self.images = base.images  # shared, not copied
+        self.base_idx = base.base_idx[sample_indices]
+        self.flip_code = base.flip_code[sample_indices]
+        self.labels = base.labels[sample_indices]
+        self.organs = [base.organs[base.base_idx[i]] for i in sample_indices]
+
+    def __len__(self) -> int:
+        return len(self.base_idx)
+
+    @property
+    def cls_labels(self) -> np.ndarray:
+        return categorize_np(self.labels)
+
+    @property
+    def image_hw(self) -> tuple[int, int]:
+        return self.images.shape[1], self.images.shape[2]
+
+    def gather_images(self, sample_indices: Sequence[int]) -> np.ndarray:
+        sample_indices = np.asarray(sample_indices)
+        return self.images[self.base_idx[sample_indices]]
+
+
+class EnsembleSource:
+    """k-fold bagging splits (reference: dataset/dataset.py:292-343).
+
+    One full LystoDataSource + per-fold contiguous train/val index lists:
+    fold sizes are ⌈N/k⌉ for the first N%k folds and ⌊N/k⌋ after, matching
+    the reference's divmod split (:306-316). ``fold(i)`` returns
+    (train_view, val_view) sharing the single image stack (the reference
+    deep-copies per fold; views are free).
+    """
+
+    def __init__(self, filepath: str, k: int = 10, augment: bool = False,
+                 num_of_imgs: int = 0, seed: int = 0):
+        self.data = LystoDataSource(
+            filepath, train=True, kfold=None, augment=augment,
+            num_of_imgs=num_of_imgs, seed=seed,
+        )
+        self.k = k
+        n = len(self.data)
+        size, extra = divmod(n, k)
+        bounds = [0]
+        for i in range(k):
+            bounds.append(bounds[-1] + size + (1 if i < extra else 0))
+        self._bounds = bounds
+
+    def fold(self, idx: int) -> tuple[SubsetSource, SubsetSource]:
+        lo, hi = self._bounds[idx], self._bounds[idx + 1]
+        val_idx = np.arange(lo, hi)
+        train_idx = np.concatenate(
+            [np.arange(0, lo), np.arange(hi, self._bounds[-1])]
+        )
+        return SubsetSource(self.data, train_idx), SubsetSource(self.data, val_idx)
+
+
 class LystoTestSource:
     """Unlabeled test source over ``test.h5`` (reference: dataset/dataset.py:346-435).
 

@@ -61,8 +61,13 @@ def save_checkpoint(
     opt_state: Any = None,
     step: int = 0,
     extra: Optional[dict] = None,
+    prefix: Optional[str] = None,
 ) -> str:
-    """Write ``<dir>/<ptN>_<epoch>epochs.ckpt`` (or the exact path given)."""
+    """Write ``<dir>/<prefix>_<epoch>epochs.ckpt`` (or the exact path given).
+
+    ``prefix`` defaults to the stage's ptN name; the ensemble trainer passes
+    ``reg_pt1_<fold>`` (reference: train_ensemble.py save_model prefix).
+    """
     parts = STAGE_SAVE_PARTITIONS[mode]
     payload = {
         "mode": mode,
@@ -79,7 +84,7 @@ def save_checkpoint(
     if os.path.isdir(path_or_dir) or not path_or_dir.endswith(".ckpt"):
         os.makedirs(path_or_dir, exist_ok=True)
         path = os.path.join(
-            path_or_dir, f"{STAGE_PREFIX[mode]}_{epoch}epochs.ckpt"
+            path_or_dir, f"{prefix or STAGE_PREFIX[mode]}_{epoch}epochs.ckpt"
         )
     else:
         path = path_or_dir

@@ -188,6 +188,41 @@ def make_tile_train_step(model: MILNet, tile_size: int, gamma: float = 1.0):
     return step
 
 
+def make_alternative_train_step(model: MILNet, tile_size: int, alpha=1.0, beta=1.0):
+    """Per-batch alternation: a tile CE update then an image CE+MSE update
+    (reference: train/train.py:210-300 ``train_alternative`` — present in the
+    reference but unused by its CLIs; provided for capability parity).
+
+    Expects two pre-built MILTrainState objects — one masked for 'tile', one
+    for 'image' — sharing the same param tree; returns both updated. batch:
+    {images, flip, cls, reg, valid} ∪ {img_idx, xs, ys, tflip, tlabel, tvalid}.
+    """
+
+    tile_step = make_tile_train_step(model, tile_size)
+    image_step = make_image_train_step(model, alpha=alpha, beta=beta)
+
+    def step(tile_state, image_state, images_dev, batch, rng):
+        tile_batch = {
+            "img_idx": batch["img_idx"],
+            "xs": batch["xs"],
+            "ys": batch["ys"],
+            "flip": batch["tflip"],
+            "label": batch["tlabel"],
+            "valid": batch["tvalid"],
+        }
+        tile_state, tile_metrics = tile_step(tile_state, images_dev, tile_batch)
+        # the image pass sees the tile update (shared params, reference order)
+        image_state = image_state.replace(params=tile_state.params)
+        image_batch = {
+            k: batch[k] for k in ("images", "flip", "cls", "reg", "valid")
+        }
+        image_state, image_metrics = image_step(image_state, image_batch, rng)
+        tile_state = tile_state.replace(params=image_state.params)
+        return tile_state, image_state, {**tile_metrics, **image_metrics}
+
+    return step
+
+
 # --------------------------------------------------------------------------
 # Stage 3 — segmentation decoder
 # --------------------------------------------------------------------------

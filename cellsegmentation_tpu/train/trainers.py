@@ -52,6 +52,17 @@ def _device_batch(batch: dict, mesh=None) -> dict:
     return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
+def _mesh_batch_size(batch_size: int, mesh) -> int:
+    """Round a batch size up to a multiple of the mesh's data-axis size so
+    dp-sharded dim 0 always divides evenly (padding masks absorb the slack)."""
+    if mesh is None:
+        return batch_size
+    from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+
+    m = int(mesh.shape[DATA_AXIS])
+    return max(m, ((batch_size + m - 1) // m) * m)
+
+
 def train_stage1(
     model: MILNet,
     variables: dict,
@@ -85,6 +96,7 @@ def train_stage1(
     hard examples.
     """
     logger = logger or RunLogger(output_dir or "./output")
+    batch_size = _mesh_batch_size(batch_size, mesh)
     it = BatchIterator(len(train_source), batch_size, shuffle=True, seed=seed)
     steps_per_epoch = len(it)
     schedule = make_schedule(scheduler, lr, epochs, steps_per_epoch)
@@ -296,8 +308,12 @@ def train_stage2(
             )
             # 3) CE training over the selected tiles
             n_sel = len(train_data["label"])
-            it = BatchIterator(n_sel, min(tile_batch_size, max(n_sel, 1)),
-                               shuffle=True, seed=seed + epoch)
+            it = BatchIterator(
+                n_sel,
+                _mesh_batch_size(min(tile_batch_size, max(n_sel, 1)), mesh),
+                shuffle=True,
+                seed=seed + epoch,
+            )
             loss_sum, n_batches = 0.0, 0
             for sel, valid in it:
                 batch = _device_batch(
@@ -438,6 +454,7 @@ def train_stage3(
     params train, encoder stats update; checkpoint at the final epoch.
     """
     logger = logger or RunLogger(output_dir or "./output")
+    batch_size = _mesh_batch_size(batch_size, mesh)
     it = BatchIterator(len(mask_source), batch_size, shuffle=True, seed=seed)
     schedule = make_schedule(scheduler, lr, epochs, len(it))
     state = create_train_state(

@@ -1,0 +1,115 @@
+"""torchvision → Flax weight conversion for ImageNet-pretrained encoders.
+
+The reference hits QWK 0.93 starting from torchvision ImageNet checkpoints
+(reference: model/resnet.py:336-361 loads model_zoo weights with
+strict=False then re-inits fc_tile). This environment has no egress, so the
+converter runs on a locally provided ``.pth`` state dict:
+
+    python -m cellsegmentation_tpu.utils.torch_convert resnet50 \
+        resnet50-19c8e357.pth out.ckpt
+
+Mapping (torch -> flax, NCHW -> NHWC):
+- conv weight [O, I, kh, kw] -> kernel [kh, kw, I, O]
+- bn {weight, bias, running_mean, running_var} ->
+  params {scale, bias} + batch_stats {mean, var}
+- our encoder layout layer<i>_<b> mirrors torch layer<i>.<b>; the bottleneck
+  convs are ConvBNAct_0..2 and the downsample is ConvBNAct_3 (basic blocks:
+  0..1 and downsample 2).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _conv(w) -> np.ndarray:
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _set(tree: dict, path: list[str], value: np.ndarray) -> None:
+    node = tree
+    for key in path[:-1]:
+        node = node.setdefault(key, {})
+    node[path[-1]] = value
+
+
+def convert_resnet_encoder(
+    state_dict: Mapping[str, "object"],
+    stage_sizes: tuple[int, ...],
+    bottleneck: bool,
+) -> tuple[dict, dict]:
+    """torchvision ResNet/ResNeXt state dict -> (params, batch_stats) for the
+    'encoder' subtree of our MILNet."""
+    params: dict = {}
+    stats: dict = {}
+
+    def copy_bn(torch_prefix: str, flax_path: list[str]) -> None:
+        _set(params, flax_path + ["scale"], np.asarray(state_dict[f"{torch_prefix}.weight"]))
+        _set(params, flax_path + ["bias"], np.asarray(state_dict[f"{torch_prefix}.bias"]))
+        _set(stats, flax_path + ["mean"], np.asarray(state_dict[f"{torch_prefix}.running_mean"]))
+        _set(stats, flax_path + ["var"], np.asarray(state_dict[f"{torch_prefix}.running_var"]))
+
+    _set(params, ["conv1", "kernel"], _conv(state_dict["conv1.weight"]))
+    copy_bn("bn1", ["bn1"])
+
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            tprefix = f"layer{stage}.{b}"
+            fblock = f"layer{stage}_{b}"
+            for ci in range(n_convs):
+                cba = f"ConvBNAct_{ci}"
+                _set(
+                    params, [fblock, cba, "Conv_0", "kernel"],
+                    _conv(state_dict[f"{tprefix}.conv{ci + 1}.weight"]),
+                )
+                copy_bn(f"{tprefix}.bn{ci + 1}", [fblock, cba, "BatchNorm_0"])
+            if f"{tprefix}.downsample.0.weight" in state_dict:
+                cba = f"ConvBNAct_{n_convs}"
+                _set(
+                    params, [fblock, cba, "Conv_0", "kernel"],
+                    _conv(state_dict[f"{tprefix}.downsample.0.weight"]),
+                )
+                copy_bn(f"{tprefix}.downsample.1", [fblock, cba, "BatchNorm_0"])
+    return params, stats
+
+
+_ARCHS = {
+    "resnet18": ((2, 2, 2, 2), False),
+    "resnet34": ((3, 4, 6, 3), False),
+    "resnet50": ((3, 4, 6, 3), True),
+    "resnext50_32x4d": ((3, 4, 6, 3), True),
+    "resnext101_32x8d": ((3, 4, 23, 3), True),
+}
+
+
+def convert_checkpoint(arch: str, torch_path: str, out_path: str) -> str:
+    """Produce a pt1-shaped .ckpt whose encoder subtree carries ImageNet
+    weights; heads stay freshly initialized at load time (strict=False)."""
+    import torch
+
+    from cellsegmentation_tpu.train import checkpoint as ckpt_mod
+
+    stage_sizes, bottleneck = _ARCHS[arch]
+    sd = torch.load(torch_path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    enc_params, enc_stats = convert_resnet_encoder(sd, stage_sizes, bottleneck)
+    return ckpt_mod.save_checkpoint(
+        out_path if out_path.endswith(".ckpt") else out_path,
+        "image",
+        0,
+        arch,
+        {"encoder": enc_params, "fc_image_cls": {}, "fc_image_reg": {}},
+        {"encoder": enc_stats},
+        extra={"source": torch_path, "pretrained": "imagenet"},
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) != 4:
+        raise SystemExit("usage: torch_convert.py <arch> <torch.pth> <out.ckpt>")
+    print(convert_checkpoint(sys.argv[1], sys.argv[2], sys.argv[3]))

@@ -1,0 +1,210 @@
+"""CLI-level tests: drive every entry point in-process on synthetic data.
+
+The CPU analogue of the reference's --debug smoke runs for the test CLIs
+and the ensemble (SURVEY §4).
+"""
+
+import csv
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from cellsegmentation_tpu.data import make_synthetic_h5
+from cellsegmentation_tpu.data.lysto import EnsembleSource
+
+
+HW = 48
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    make_synthetic_h5(str(root / "training.h5"), n_images=12, image_size=HW, seed=2)
+    make_synthetic_h5(str(root / "test.h5"), n_images=6, image_size=HW, seed=7)
+    return root
+
+
+@pytest.fixture(scope="module")
+def trained(workspace):
+    """Train 1 epoch of each stage via the real CLIs; return ckpt paths."""
+    from cellsegmentation_tpu.cli import train_image, train_seg, train_tile
+
+    out = str(workspace / "out")
+    base = ["--data_path", str(workspace), "-o", out, "--f32"]
+    train_image.main(base + ["-E", "resnet18", "-e", "1", "-B", "4", "-k", "4"])
+    pt1 = sorted(glob.glob(os.path.join(out, "pt1_*.ckpt")))[-1]
+    train_tile.main(
+        base + ["-m", pt1, "-e", "1", "-b", "256", "-B", "4", "-t", "16",
+                "-i", "16", "-n", "5"]
+    )
+    pt2 = sorted(glob.glob(os.path.join(out, "pt2_*.ckpt")))[-1]
+    train_seg.main(
+        base + ["-m", pt2, "-e", "1", "-t", "8", "-i", "8", "-c", "0.2",
+                "-B", "4", "-b", "4"]
+    )
+    pt3 = sorted(glob.glob(os.path.join(out, "pt3_*.ckpt")))[-1]
+    return workspace, out, pt1, pt2, pt3
+
+
+class TestTestCLIs:
+    def test_test_count(self, trained):
+        workspace, out, pt1, _, _ = trained
+        from cellsegmentation_tpu.cli import test_count
+
+        dst = str(workspace / "tc")
+        test_count.main(
+            ["-m", pt1, "--data_path", str(workspace), "-o", dst, "--f32",
+             "-B", "4", "--cls_limit"]
+        )
+        csvs = glob.glob(os.path.join(dst, "*-count-e*.csv"))
+        assert csvs
+        with open(csvs[0]) as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["id", "count", "organ"]
+        assert len(rows) == 7  # 6 test images + header
+
+    def test_test_tile_heatmaps(self, trained):
+        workspace, out, _, pt2, _ = trained
+        from cellsegmentation_tpu.cli import test_tile
+
+        dst = str(workspace / "tt")
+        test_tile.main(
+            ["-m", pt2, "--data_path", str(workspace), "-o", dst, "--f32",
+             "-B", "4", "-t", "16", "-i", "16", "-c", "0.1", "--reg_limit"]
+        )
+        assert glob.glob(os.path.join(dst, "test_*.png"))
+        assert glob.glob(os.path.join(dst, "*-pred-*.csv"))
+
+    def test_test_seg_draw_masks(self, trained):
+        workspace, out, _, _, pt3 = trained
+        from cellsegmentation_tpu.cli import test_seg
+
+        dst = str(workspace / "ts")
+        test_seg.main(
+            ["-m", pt3, "--data_path", str(workspace / "test.h5"), "-o", dst,
+             "--f32", "--draw_masks", "-B", "4", "-c", "0.5", "--soft_mask"]
+        )
+        assert glob.glob(os.path.join(dst, "test_*.png"))
+        assert glob.glob(os.path.join(dst, "soft", "*.png"))
+
+    def test_test_seg_detect(self, trained, tmp_path):
+        workspace, out, _, _, pt3 = trained
+        from cellsegmentation_tpu.cli import test_seg
+        import cv2
+
+        # ROI directory input: two pngs
+        roi = tmp_path / "roi"
+        roi.mkdir()
+        rng = np.random.default_rng(0)
+        for i in range(2):
+            img = rng.integers(0, 255, size=(HW, HW, 3), dtype=np.uint8)
+            cv2.imwrite(str(roi / f"slide_{i}.png"), img)
+        dst = str(tmp_path / "det")
+        test_seg.main(
+            ["-m", pt3, "--data_path", str(roi), "-o", dst, "--f32",
+             "--detect", "-B", "2"]
+        )
+        csvs = glob.glob(os.path.join(dst, "detect", "*-location.csv"))
+        assert csvs
+        with open(csvs[0]) as f:
+            rows = list(csv.reader(f))
+        assert rows[0] == ["image_id", "x", "y"]
+        assert glob.glob(os.path.join(dst, "detect", "mask_*.png"))
+
+    def test_point_eval(self, trained, tmp_path):
+        workspace, out, _, _, pt3 = trained
+        from cellsegmentation_tpu.cli import test_seg
+        import cv2
+
+        # point-annotated layout
+        root = tmp_path / "points_root"
+        (root / "images").mkdir(parents=True)
+        (root / "masks").mkdir()
+        (root / "points").mkdir()
+        rng = np.random.default_rng(1)
+        for i in range(2):
+            img = rng.integers(0, 255, size=(HW, HW, 3), dtype=np.uint8)
+            cv2.imwrite(str(root / "images" / f"test_{i}.png"), img)
+            mask = (rng.random((HW, HW)) > 0.7).astype(np.uint8) * 255
+            cv2.imwrite(str(root / "masks" / f"test_{i}.png"), mask)
+            np.savetxt(
+                str(root / "points" / f"test_{i}.tsv"),
+                rng.integers(0, HW, size=(3, 2)),
+                delimiter="\t", fmt="%d",
+            )
+        dst = str(tmp_path / "pe")
+        test_seg.main(
+            ["-m", pt3, "--data_path", str(root), "-o", dst, "--f32",
+             "-c", "0.5"]
+        )
+        with open(os.path.join(dst, "center.csv")) as f:
+            rows = list(csv.reader(f))
+        assert rows[0][:3] == ["id", "count", "tp"]
+        assert len(rows) == 3
+
+    def test_qupath_baseline(self, trained, tmp_path):
+        workspace, out, _, _, pt3 = trained
+        from cellsegmentation_tpu.cli import test_seg
+        import cv2, json
+
+        root = tmp_path / "qp_root"
+        (root / "images").mkdir(parents=True)
+        (root / "points").mkdir()
+        qp = tmp_path / "qp"
+        qp.mkdir()
+        img = np.zeros((HW, HW, 3), dtype=np.uint8)
+        cv2.imwrite(str(root / "images" / "test_0.png"), img)
+        np.savetxt(str(root / "points" / "test_0.tsv"), [[10, 10], [30, 30]],
+                   delimiter="\t", fmt="%d")
+        gj = {"features": [
+            {"geometry": {"type": "Point", "coordinates": [10, 11]}},
+            {"geometry": {"type": "Polygon",
+                          "coordinates": [[[28, 28], [32, 28], [32, 32], [28, 32]]]}},
+        ]}
+        with open(qp / "test_0.geojson", "w") as f:
+            json.dump(gj, f)
+        dst = str(tmp_path / "qpe")
+        test_seg.main(
+            ["-m", pt3, "--data_path", str(root), "-o", dst, "--f32",
+             "--test_qupath", str(qp)]
+        )
+        with open(os.path.join(dst, "qupath-center.csv")) as f:
+            rows = list(csv.reader(f))
+        assert rows[1][1] == "2"  # both detections matched -> tp=2
+
+
+class TestEnsemble:
+    def test_ensemble_split_sizes(self, workspace):
+        src = EnsembleSource(str(workspace / "training.h5"), k=5)
+        n = len(src.data)
+        sizes = []
+        for i in range(5):
+            tr, va = src.fold(i)
+            assert len(tr) + len(va) == n
+            sizes.append(len(va))
+        # ⌈N/k⌉ for the first N%k folds (reference divmod split)
+        assert sizes == sorted(sizes, reverse=True)
+        assert sum(sizes) == n
+
+    def test_train_and_test_ensemble(self, workspace):
+        from cellsegmentation_tpu.cli import test_ensemble, train_ensemble
+
+        out = str(workspace / "ens")
+        train_ensemble.main(
+            ["--data_path", str(workspace), "-o", out, "--f32", "-E",
+             "resnet18", "-k", "2", "-e", "1", "-B", "4", "--test_every", "1"]
+        )
+        ckpts = glob.glob(os.path.join(out, "reg_pt1_*_1epochs.ckpt"))
+        assert len(ckpts) == 2
+        dst = str(workspace / "ens_out")
+        test_ensemble.main(
+            ["-m", out, "-e", "1", "--data_path", str(workspace), "-o", dst,
+             "--f32", "-B", "4"]
+        )
+        csvs = glob.glob(os.path.join(dst, "*-count-e1.csv"))
+        assert csvs
+        with open(csvs[0]) as f:
+            rows = list(csv.reader(f))
+        assert len(rows) == 7
