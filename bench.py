@@ -32,9 +32,8 @@ def main() -> None:
 
     model = build_model("resnet50")
     variables = init_variables(model, jax.random.PRNGKey(0))
-    infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE)
-
-    coords = jnp.asarray(tile_grid(HW, HW, TILE_SIZE, INTERVAL))
+    coords = tile_grid(HW, HW, TILE_SIZE, INTERVAL)
+    infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords)
     tiles_per_image = int(coords.shape[0])
 
     rng = np.random.default_rng(0)
@@ -51,7 +50,7 @@ def main() -> None:
         start = time.perf_counter()
         sums = []
         for i in range(n_steps):
-            probs = infer_fn(variables, batches[i % len(batches)], flip, coords)
+            probs = infer_fn(variables, batches[i % len(batches)], flip)
             sums.append(jnp.sum(probs))
         float(jnp.stack(sums).sum())  # single 4-byte sync point
         return time.perf_counter() - start

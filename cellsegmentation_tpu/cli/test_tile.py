@@ -63,7 +63,10 @@ def main(argv=None) -> None:
         args.model, args,
         partitions=(ENCODER_KEY, TILE_KEY, IMAGE_CLS_KEY, IMAGE_REG_KEY),
     )
-    tile_infer = steps_mod.make_tile_infer_step(model, args.tile_size)
+    h0, w0 = source.image_hw
+    tile_infer = steps_mod.make_tile_infer_step(
+        model, args.tile_size, tile_grid(h0, w0, args.tile_size, args.interval)
+    )
     probs = inference_tiles(
         source, tile_infer, variables, args.tile_size, args.interval,
         image_batch=args.batch_size,

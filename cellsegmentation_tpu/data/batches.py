@@ -22,20 +22,32 @@ IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], dtype=np.float32)
 IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], dtype=np.float32)
 
 
-@jax.jit
-def normalize_images(images_u8: jnp.ndarray, flip_codes: jnp.ndarray) -> jnp.ndarray:
-    """uint8 NHWC [B,H,W,3] + per-sample flip codes -> normalized f32.
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("dtype",))
+def normalize_images(
+    images_u8: jnp.ndarray, flip_codes: jnp.ndarray, dtype=jnp.float32
+) -> jnp.ndarray:
+    """uint8 NHWC [B,H,W,3] + per-sample flip codes -> normalized images.
 
     flip code: 0 none, 1 horizontal, 2 vertical, 3 both — matching the
     reference's RandomHorizontalFlip(p=1)/Vertical/Compose augmentations
     (reference: dataset/dataset.py:70-77). torchvision hflip mirrors width.
+
+    Flips run on the raw uint8 bytes and the ImageNet normalization is a
+    single per-channel affine in the requested dtype, so no f32 copy of the
+    pixel tensor ever exists when dtype=bfloat16 (the tile-inference hot
+    path; the f32 default keeps training parity with the reference's
+    torchvision pipeline).
     """
-    x = images_u8.astype(jnp.float32) / 255.0
     do_h = ((flip_codes == 1) | (flip_codes == 3))[:, None, None, None]
     do_v = ((flip_codes == 2) | (flip_codes == 3))[:, None, None, None]
-    x = jnp.where(do_h, x[:, :, ::-1, :], x)
+    x = jnp.where(do_h, images_u8[:, :, ::-1, :], images_u8)
     x = jnp.where(do_v, x[:, ::-1, :, :], x)
-    return (x - IMAGENET_MEAN) / IMAGENET_STD
+    scale = (1.0 / (255.0 * IMAGENET_STD)).astype(dtype)
+    shift = (-IMAGENET_MEAN / IMAGENET_STD).astype(dtype)
+    return x.astype(dtype) * scale + shift
 
 
 class BatchIterator:

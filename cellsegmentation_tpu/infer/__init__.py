@@ -83,23 +83,23 @@ def inference_tiles(
 ) -> np.ndarray:
     """Dense per-tile P(positive) for every image: returns [N, T] float32.
 
-    The flattened, reference-order equivalent of inference_tiles
+    ``infer_step`` must be built with the matching static grid
+    (steps.make_tile_infer_step(model, tile_size, tile_grid(...))). The
+    flattened, reference-order equivalent of inference_tiles
     (reference: inference.py:9-28) is ``probs.reshape(-1)`` since all images
     share the static grid.
     """
     h, w = source.image_hw
-    coords = jnp.asarray(tile_grid(h, w, tile_size, interval))
+    n_t = tile_grid(h, w, tile_size, interval).shape[0]
     n = len(source)
     flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
     base_idx = getattr(source, "base_idx", np.arange(n))
 
-    out = np.zeros((n, coords.shape[0]), dtype=np.float32)
+    out = np.zeros((n, n_t), dtype=np.float32)
     it = BatchIterator(n, image_batch, shuffle=False)
     for sel, valid in it:
         images = source.images[base_idx[sel]]
-        probs = infer_step(
-            variables, jnp.asarray(images), jnp.asarray(flip[sel]), coords
-        )
+        probs = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
         out[sel[valid]] = np.asarray(probs)[valid]
     return out
 

@@ -24,6 +24,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cellsegmentation_tpu.core.dtypes import Policy, DEFAULT_POLICY
+from cellsegmentation_tpu.ops.fastconv import SmartConv
 from cellsegmentation_tpu.ops.pooling import global_avg_max_pool
 from cellsegmentation_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -43,7 +44,7 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = nn.Conv(
+        x = SmartConv(
             self.features,
             self.kernel_size,
             strides=self.strides,
@@ -53,6 +54,7 @@ class ConvBNAct(nn.Module):
             param_dtype=self.policy.param_dtype,
             kernel_init=conv_kaiming_init,
             feature_group_count=self.feature_group_count,
+            name="Conv_0",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -52,13 +52,51 @@ def num_tiles(height: int, width: int, tile_size: int, interval: int) -> int:
     return tile_grid(height, width, tile_size, interval).shape[0]
 
 
+def extract_tiles_factored(
+    images: jnp.ndarray, xs: np.ndarray, ys: np.ndarray, tile_size: int
+) -> jnp.ndarray:
+    """Gather [B, nx·ny, ts, ts, C] tiles using the grid's product structure.
+
+    The sliding grid is an outer product xs × ys, so instead of gathering
+    per-tile rows (nx·ny·ts row reads, 15× redundant at 32/20) we gather the
+    nx·ts unique row bands once, then the ny·ts columns: HBM traffic drops
+    from O(T·ts·W) to O(nx·ts·W + T·ts²). Tile order matches ``tile_grid``
+    (x outer, y inner).
+    """
+    b, _, w, c = images.shape
+    xs = np.asarray(xs)
+    ys = np.asarray(ys)
+    offs = np.arange(tile_size, dtype=np.int32)
+    row_idx = (xs[:, None] + offs[None, :]).reshape(-1)  # [nx*ts]
+    col_idx = (ys[:, None] + offs[None, :]).reshape(-1)  # [ny*ts]
+    bands = jnp.take(images, jnp.asarray(row_idx), axis=1)  # [B, nx*ts, W, C]
+    tiles = jnp.take(bands, jnp.asarray(col_idx), axis=2)  # [B, nx*ts, ny*ts, C]
+    tiles = tiles.reshape(b, len(xs), tile_size, len(ys), tile_size, c)
+    tiles = tiles.transpose(0, 1, 3, 2, 4, 5)
+    return tiles.reshape(b, len(xs) * len(ys), tile_size, tile_size, c)
+
+
 def extract_tiles(images: jnp.ndarray, coords: jnp.ndarray, tile_size: int) -> jnp.ndarray:
     """Gather [B, T, ts, ts, C] tiles out of [B, H, W, C] images on device.
 
-    ``coords`` is the [T, 2] static grid. Implemented as two chained takes
-    (rows then cols) so XLA emits contiguous gathers instead of a 2-D scatter.
+    When ``coords`` is the standard product grid this dispatches to the
+    factored fast path; arbitrary coordinate lists fall back to the general
+    two-stage gather.
     """
-    coords = jnp.asarray(coords)
+    try:  # traced coords (inside jit with dynamic grids) skip the fast path
+        coords_np = np.asarray(coords)
+    except Exception:
+        coords_np = None
+    if coords_np is not None:
+        xs = np.unique(coords_np[:, 0])
+        ys = np.unique(coords_np[:, 1])
+        if len(xs) * len(ys) == len(coords_np):
+            product = np.stack(
+                np.meshgrid(xs, ys, indexing="ij"), axis=-1
+            ).reshape(-1, 2)
+            if np.array_equal(product, coords_np):
+                return extract_tiles_factored(images, xs, ys, tile_size)
+        coords = jnp.asarray(coords_np)
     offs = jnp.arange(tile_size, dtype=jnp.int32)
     row_idx = coords[:, 0:1] + offs[None, :]  # [T, ts]
     col_idx = coords[:, 1:2] + offs[None, :]  # [T, ts]

@@ -117,29 +117,82 @@ def make_image_infer_step(model: MILNet):
 # Stage 2 — MIL tile classifier
 # --------------------------------------------------------------------------
 
-def make_tile_infer_step(model: MILNet, tile_size: int):
+def make_tile_infer_step(model: MILNet, tile_size: int, coords=None, variables=None, use_engine=False):
     """Dense tile inference over whole images resident on device.
 
-    (variables, images u8 [G,H,W,3], flip [G], coords [T,2]) -> probs [G,T]
-    = softmax P(positive) per tile (reference: inference.py:9-28). Tiles are
-    extracted on device, flipped per the parent sample's augmentation code,
-    and batched as one [G*T] forward so the MXU sees a single large conv
-    batch.
-    """
+    (variables, images u8 [G,H,W,3], flip [G]) -> probs [G,T] = softmax
+    P(positive) per tile (reference: inference.py:9-28). ``coords`` is the
+    STATIC [T, 2] grid (a product grid hits the factored row-band gather in
+    ops/tiles.py); tiles are extracted on device, flipped per the parent
+    sample's augmentation code, and batched as one [G·T] forward so the MXU
+    sees a single large conv batch.
 
-    @functools.partial(jax.jit, static_argnums=())
-    def infer(variables, images, flip, coords):
-        g = images.shape[0]
-        tiles = extract_tiles(images, coords, tile_size)  # [G,T,ts,ts,3] u8
-        t = tiles.shape[1]
-        flat = tiles.reshape(g * t, tile_size, tile_size, 3)
-        flip_per_tile = jnp.repeat(flip, t)
-        x = normalize_images(flat, flip_per_tile)
-        logits = model.apply(variables, x, mode="tile", train=False)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
-        return probs.reshape(g, t)
+    With ``use_engine=True`` (requires ``variables``) the trunk runs through
+    the folded-BN inference engine (ops/infer_engine.py: BN folded into conv
+    weights, Pallas fused bottleneck chains). Valid while the encoder stays
+    frozen — i.e. the whole stage-2 cycle; only fc_tile is read per call.
+
+    For backward compatibility coords may be omitted, in which case the step
+    accepts it as a (static, hashable-free) 4th array argument via the
+    general gather path.
+    """
+    import numpy as np
+
+    if coords is None:
+        @jax.jit
+        def infer_dyn(variables, images, flip, coords_arr):
+            return _tile_infer_body(model, tile_size, variables, images, flip, coords_arr)
+
+        return infer_dyn
+
+    coords = np.asarray(coords)
+
+    if use_engine and variables is not None:
+        from cellsegmentation_tpu.ops.infer_engine import make_fast_tile_logits
+
+        built = make_fast_tile_logits(model, variables)
+        if built is not None:
+            fast_logits, trunk_tree = built
+
+            @jax.jit
+            def infer_engine_step(head_params, trunk_tree, images, flip):
+                g = images.shape[0]
+                tiles = extract_tiles(images, coords, tile_size)
+                t = tiles.shape[1]
+                flat = tiles.reshape(g * t, tile_size, tile_size, 3)
+                x = normalize_images(
+                    flat, jnp.repeat(flip, t), dtype=jnp.bfloat16
+                )
+                logits = fast_logits(head_params, trunk_tree, x)
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+                return probs.reshape(g, t)
+
+            def infer_with_engine(variables_in, images, flip):
+                return infer_engine_step(
+                    variables_in["params"]["fc_tile"], trunk_tree, images, flip
+                )
+
+            return infer_with_engine
+
+    @jax.jit
+    def infer(variables, images, flip):
+        return _tile_infer_body(model, tile_size, variables, images, flip, coords)
 
     return infer
+
+
+def _tile_infer_body(model, tile_size, variables, images, flip, coords):
+    g = images.shape[0]
+    tiles = extract_tiles(images, coords, tile_size)  # [G,T,ts,ts,3] u8
+    t = tiles.shape[1]
+    flat = tiles.reshape(g * t, tile_size, tile_size, 3)
+    flip_per_tile = jnp.repeat(flip, t)
+    # bf16 normalize: flips on u8 bytes, affine into the compute dtype — no
+    # f32 copy of the 40k-tile tensor exists on the hot path
+    x = normalize_images(flat, flip_per_tile, dtype=model.policy.compute_dtype)
+    logits = model.apply(variables, x, mode="tile", train=False)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+    return probs.reshape(g, t)
 
 
 def make_tile_train_step(model: MILNet, tile_size: int, gamma: float = 1.0):

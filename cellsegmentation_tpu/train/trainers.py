@@ -252,13 +252,13 @@ def train_stage2(
     import jax
 
     logger = logger or RunLogger(output_dir or "./output")
-    infer_fn = steps_mod.make_tile_infer_step(model, tile_size)
+    h, w = train_source.image_hw
+    coords = tile_grid(h, w, tile_size, interval)  # static grid
+    infer_fn = steps_mod.make_tile_infer_step(model, tile_size, coords)
     step_fn = steps_mod.make_tile_train_step(model, tile_size)
 
     # one-time HBM upload of the deduplicated image stack
     images_dev = jnp.asarray(train_source.images)
-    h, w = train_source.image_hw
-    coords = jnp.asarray(tile_grid(h, w, tile_size, interval))
 
     # Schedules are step-functions; the per-epoch batch count varies with the
     # selection, so size the schedule from a nominal epoch length.
@@ -288,7 +288,7 @@ def train_stage2(
                 imgs = images_dev[jnp.asarray(base_idx[sel])]
             else:
                 imgs = jnp.asarray(source.images[base_idx[sel]])
-            probs = infer_fn(state.variables, imgs, jnp.asarray(flip[sel]), coords)
+            probs = infer_fn(state.variables, imgs, jnp.asarray(flip[sel]))
             out[sel[valid]] = np.asarray(probs)[valid]
         return out
 
@@ -396,7 +396,10 @@ def draw_pseudo_masks(
     from cellsegmentation_tpu.postprocess.masks import generate_masks
 
     logger = logger or RunLogger(output_path or "./output")
-    infer_tiles_fn = steps_mod.make_tile_infer_step(model, tile_size)
+    h, w = source.image_hw
+    infer_tiles_fn = steps_mod.make_tile_infer_step(
+        model, tile_size, tile_grid(h, w, tile_size, interval)
+    )
     probs = infer.inference_tiles(
         source, infer_tiles_fn, variables, tile_size, interval,
         image_batch=image_batch,

@@ -123,15 +123,13 @@ def test_tile_infer_consistency():
 
     model = build_model("resnet18", policy=F32_POLICY)
     variables = init_variables(model, jax.random.PRNGKey(0))
-    infer_fn = steps_mod.make_tile_infer_step(model, 16)
+    coords = tile_grid(48, 48, 16, 16)
+    infer_fn = steps_mod.make_tile_infer_step(model, 16, coords)
     rng = np.random.default_rng(0)
     images = rng.integers(0, 255, size=(2, 48, 48, 3), dtype=np.uint8)
-    coords = tile_grid(48, 48, 16, 16)
 
     probs = np.asarray(
-        infer_fn(
-            variables, jnp.asarray(images), jnp.zeros(2, jnp.int32), jnp.asarray(coords)
-        )
+        infer_fn(variables, jnp.asarray(images), jnp.zeros(2, jnp.int32))
     )
 
     from cellsegmentation_tpu.data.batches import normalize_images
