@@ -17,6 +17,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def calc_map(pred, real) -> float:
+    """Average-precision score (reference: metrics/metrics.py:19-20 wraps
+    sklearn; argument order preserved, quirk included: the reference passes
+    predictions as y_true)."""
+    from sklearn import metrics as skm
+
+    return float(skm.average_precision_score(np.asarray(pred), np.asarray(real)))
+
+
 def calc_err(pred, real) -> tuple[float, float, float]:
     """Tile error rate, FPR, FNR (reference: metrics/metrics.py:7-16)."""
     pred = np.asarray(pred)

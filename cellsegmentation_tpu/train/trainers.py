@@ -7,7 +7,9 @@ re-sampling, validation cadence, checkpointing) so nothing recompiles.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
@@ -26,6 +28,7 @@ from cellsegmentation_tpu.train import steps as steps_mod
 from cellsegmentation_tpu.train.schedules import make_schedule
 from cellsegmentation_tpu.train.state import MILTrainState, create_train_state
 from cellsegmentation_tpu.utils.logging import RunLogger
+from cellsegmentation_tpu.utils.profiling import trace
 
 
 @dataclasses.dataclass
@@ -124,21 +127,28 @@ def train_stage1(
             sums = {}
             n_batches = 0
             cls_labels = train_source.cls_labels  # refresh after resampling
-            for sel, valid in it:
-                batch = _device_batch(
-                    {
-                        "images": train_source.gather_images(sel),
-                        "flip": train_source.flip_code[sel],
-                        "cls": cls_labels[sel],
-                        "reg": train_source.labels[sel].astype(np.float32),
-                        "valid": valid,
-                    },
-                    mesh,
-                )
-                state, metrics = step_fn(state, batch, base_rng)
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-                n_batches += 1
+            # CST_PROFILE=1 captures a jax.profiler trace of the first epoch
+            prof = (
+                trace(os.path.join(output_dir or ".", "profile"))
+                if epoch == 1 + last_epoch
+                else contextlib.nullcontext()
+            )
+            with prof:
+                for sel, valid in it:
+                    batch = _device_batch(
+                        {
+                            "images": train_source.gather_images(sel),
+                            "flip": train_source.flip_code[sel],
+                            "cls": cls_labels[sel],
+                            "reg": train_source.labels[sel].astype(np.float32),
+                            "valid": valid,
+                        },
+                        mesh,
+                    )
+                    state, metrics = step_fn(state, batch, base_rng)
+                    for k, v in metrics.items():
+                        sums[k] = sums.get(k, 0.0) + float(v)
+                    n_batches += 1
             means = {k: v / max(n_batches, 1) for k, v in sums.items()}
             logger.info(
                 f"[stage1 epoch {epoch}/{epochs}] "

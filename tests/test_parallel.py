@@ -1,0 +1,99 @@
+"""SPMD correctness: dp-sharded steps match single-device numerics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cellsegmentation_tpu.core.dtypes import F32_POLICY
+from cellsegmentation_tpu.models import build_model, init_variables
+from cellsegmentation_tpu.parallel import (
+    batch_sharding,
+    infer_param_shardings,
+    make_mesh,
+    replicate_tree,
+    shard_batch,
+)
+from cellsegmentation_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
+from cellsegmentation_tpu.train import create_train_state, make_schedule, steps
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        mesh = make_mesh()
+        assert mesh.shape[DATA_AXIS] * mesh.shape[MODEL_AXIS] == 8
+        assert mesh.shape[MODEL_AXIS] == 2  # 8 devices -> (4, 2)
+
+    def test_explicit_shape(self):
+        mesh = make_mesh(data=8, model=1)
+        assert mesh.shape[DATA_AXIS] == 8
+
+    def test_bad_shape_raises(self):
+        with pytest.raises(ValueError):
+            make_mesh(data=3, model=3)
+
+
+class TestShardings:
+    def test_batch_sharded_over_data(self):
+        mesh = make_mesh(data=8, model=1)
+        batch = shard_batch(mesh, {"x": np.zeros((16, 4), np.float32)})
+        shard_shapes = [s.data.shape for s in batch["x"].addressable_shards]
+        assert all(s == (2, 4) for s in shard_shapes)
+
+    def test_wide_kernels_tp_sharded(self):
+        mesh = make_mesh(data=4, model=2)
+        tree = {"wide": {"kernel": np.zeros((2048, 64), np.float32)},
+                "narrow": {"kernel": np.zeros((64, 64), np.float32)}}
+        shardings = infer_param_shardings(tree, mesh)
+        assert shardings["wide"]["kernel"].spec == jax.sharding.PartitionSpec(
+            MODEL_AXIS, None
+        )
+        assert shardings["narrow"]["kernel"].spec == jax.sharding.PartitionSpec()
+
+
+class TestDPEquivalence:
+    def test_sharded_step_matches_single_device(self, rng):
+        """The dp-sharded stage-1 step must produce the same loss and (SGD)
+        params as the same step on one device — GSPMD psum ≡ serial
+        accumulation up to f32 reduction-order noise. SGD is used because
+        Adam's 1/√v normalization amplifies that noise on near-zero grads."""
+        model = build_model("resnet18", policy=F32_POLICY)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        host_vars = jax.tree_util.tree_map(np.asarray, variables)
+        sched = make_schedule(None, 1e-3, 5, 5)
+        step_fn = steps.make_image_train_step(model)
+
+        batch_np = {
+            "images": rng.integers(0, 255, size=(8, 32, 32, 3), dtype=np.uint8),
+            "flip": np.zeros(8, np.int32),
+            "cls": rng.integers(0, 7, size=8),
+            "reg": rng.integers(0, 30, size=8).astype(np.float32),
+            "valid": np.ones(8, bool),
+        }
+
+        # single device
+        s1 = create_train_state(
+            jax.tree_util.tree_map(jnp.asarray, host_vars["params"]),
+            jax.tree_util.tree_map(jnp.asarray, host_vars["batch_stats"]),
+            "image", sched, use_sgd=True,
+        )
+        s1, m1 = step_fn(s1, jax.tree_util.tree_map(jnp.asarray, batch_np),
+                         jax.random.PRNGKey(7))
+        loss1 = float(m1["loss"])
+        p1 = jax.tree_util.tree_map(np.asarray, s1.params)
+
+        # 8-way dp mesh
+        mesh = make_mesh(data=8, model=1)
+        params = replicate_tree(mesh, host_vars["params"])
+        stats = replicate_tree(mesh, host_vars["batch_stats"])
+        s8 = create_train_state(params, stats, "image", sched, use_sgd=True)
+        s8, m8 = step_fn(s8, shard_batch(mesh, batch_np), jax.random.PRNGKey(7))
+
+        assert loss1 == pytest.approx(float(m8["loss"]), rel=1e-4)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(p1),
+            jax.tree_util.tree_leaves(
+                jax.tree_util.tree_map(np.asarray, s8.params)
+            ),
+        ):
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5)
