@@ -55,7 +55,7 @@ def gemm_conv2d(
 
     import os
 
-    mode = os.environ.get("CST_FASTCONV", "1x1")  # off | 1x1 | all
+    mode = os.environ.get("CST_FASTCONV", "off")  # off | 1x1 | all
     use_gemm = (
         mode != "off"
         and feature_group_count == 1
@@ -63,11 +63,12 @@ def gemm_conv2d(
         and (mode == "all" or (kh == kw == 1 and (sh, sw) == (1, 1)))
     )
     if not use_gemm:
+        # no preferred_element_type here: the f32-out conv's transposed-conv
+        # VJP mixes f32 cotangents with bf16 weights and lax rejects it
         y = jax.lax.conv_general_dilated(
             x, w, strides, ((ph0, ph1), (pw0, pw1)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=feature_group_count,
-            preferred_element_type=preferred_element_type,
         )
         return y.astype(x.dtype)
 
@@ -98,12 +99,19 @@ def gemm_conv2d(
 
 
 class SmartConv(nn.Conv):
-    """nn.Conv with the GEMM lowering; identical params/naming."""
+    """nn.Conv with the (opt-in, CST_FASTCONV=1x1|all) GEMM lowering;
+    identical params/naming. Measured on v5e: XLA's in-graph conv fusions
+    already match the lowering, so it stays off by default — the standalone
+    speedup (10×) only shows up for un-fused single convs; the folded
+    inference engine covers the production path instead."""
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         if (
-            self.feature_group_count != 1
+            os.environ.get("CST_FASTCONV", "off") == "off"
+            or self.feature_group_count != 1
             or x.ndim != 4
             or max(x.shape[1], x.shape[2]) > _MAX_GEMM_HW
             or self.use_bias
