@@ -7,6 +7,11 @@ import os
 
 import jax
 
+# CST_PLATFORM overrides the JAX backend (the env-pinned axon plugin ignores
+# JAX_PLATFORMS, so subprocess tests use this to force CPU).
+if os.environ.get("CST_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["CST_PLATFORM"])
+
 # Persistent compilation cache: repeat CLI invocations (the 3-stage pipeline
 # is 3+ processes) replay XLA compiles from disk instead of re-paying them.
 jax.config.update(

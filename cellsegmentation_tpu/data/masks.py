@@ -126,7 +126,9 @@ class MaskTestSource:
             images, organs, _ = _load_h5(filepath, num_of_imgs)
             self.images = images
             self.organs = organs
-            self.files = []
+            # synthetic per-image names so detection outputs (mask pngs,
+            # location CSV rows) work uniformly across source kinds
+            self.files = [f"{i + 1:05}.h5img" for i in range(len(images))]
             self.image_sizes = [images.shape[1:3]] * len(images)
             for i in range(len(images)):
                 self.patch_index.append((i, 0, 0))

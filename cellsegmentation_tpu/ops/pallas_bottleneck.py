@@ -6,8 +6,15 @@ bottleneck block costs a full HBM round trip of its activations — XLA fuses
 (~1 GB each for layer1; measured 3.6 ms/block on v5e). The per-tile
 activation footprint is tiny (8·8·256·bf16 = 32 KB), so a whole *stage* fits
 in VMEM: this kernel streams a chunk of tiles in, runs every block's three
-convolutions as MXU dots (1×1 convs = GEMMs; the 3×3 via 9 shifted GEMMs on
-a zero-padded VMEM scratch), and writes only the stage output.
+convolutions as MXU dots, and writes only the stage output.
+
+v2 kernel structure (v1's im2col scratch copies dominated its runtime):
+- the 3×3 conv is 9 shift-sliced GEMMs accumulated in f32 — reads come
+  straight from a zero-padded VMEM scratch, no column-matrix assembly;
+- the 1×1 expand conv + residual are computed in N-halves so the transient
+  f32 stack stays small;
+- block outputs stage through a VMEM scratch ref, so only the final block
+  touches HBM.
 
 Scope: stride-1 chains with optional per-block projection shortcuts —
 exactly ResNet layer1 and the tails of layers 2-4. All BN is pre-folded into
@@ -22,7 +29,6 @@ Weights layout per block b (all bf16, biases f32):
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -37,13 +43,9 @@ def _dot(a, b):
     )
 
 
-def _block_body(x, weights, has_proj, h, w, bt, padded_scr, cols_scr):
-    """One bottleneck block on a VMEM-resident value x [bt, h, w, cin].
-
-    The 3×3 conv is ONE im2col GEMM (K = 9·Cmid fills the MXU depth); the
-    column matrix is assembled in a VMEM scratch with 9 shifted copies
-    (Mosaic cannot lower concat-of-shifted-slices directly).
-    """
+def _block_body(x, weights, has_proj, h, w, bt, padded_scr, out_scr):
+    """One bottleneck block on a VMEM-resident value x [bt, h, w, cin];
+    result is written into (and re-read from) out_scr."""
     if has_proj:
         w1, b1, w2, b2, w3, b3, wd, bd = weights
     else:
@@ -54,26 +56,30 @@ def _block_body(x, weights, has_proj, h, w, bt, padded_scr, cols_scr):
 
     flat = x.reshape(bt * h * w, cin)
     hid = jnp.maximum(_dot(flat, w1) + b1, 0.0).astype(jnp.bfloat16)
-    hid = hid.reshape(bt, h, w, cmid)
 
-    padded_scr[:, :, :, :cmid] = jnp.zeros(
-        (bt, h + 2, w + 2, cmid), jnp.bfloat16
-    )
-    padded_scr[:, 1 : h + 1, 1 : w + 1, :cmid] = hid
-    for k, (di, dj) in enumerate((i, j) for i in range(3) for j in range(3)):
-        window = padded_scr[:, di : di + h, dj : dj + w, :cmid]
-        cols_scr[:, k * cmid : (k + 1) * cmid] = window.reshape(bt * h * w, cmid)
-    hid2 = jnp.maximum(
-        _dot(cols_scr[:, : 9 * cmid], w2.reshape(9 * cmid, cmid)) + b2, 0.0
-    ).astype(jnp.bfloat16)
+    # zero-padded copy of hid for the shifted reads
+    padded_scr[:, :, :, :cmid] = jnp.zeros((bt, h + 2, w + 2, cmid), jnp.bfloat16)
+    padded_scr[:, 1 : h + 1, 1 : w + 1, :cmid] = hid.reshape(bt, h, w, cmid)
 
-    out = _dot(hid2, w3) + b3
-    if has_proj:
-        res = _dot(flat, wd) + bd
-    else:
-        res = flat.astype(jnp.float32)
-    y = jnp.maximum(out + res, 0.0).astype(jnp.bfloat16)
-    return y.reshape(bt, h, w, cout)
+    acc = jnp.zeros((bt * h * w, cmid), jnp.float32)
+    for di in range(3):
+        for dj in range(3):
+            window = padded_scr[:, di : di + h, dj : dj + w, :cmid]
+            acc = acc + _dot(window.reshape(bt * h * w, cmid), w2[di, dj])
+    hid2 = jnp.maximum(acc + b2, 0.0).astype(jnp.bfloat16)
+
+    # expand conv + residual in N-halves: transient f32 stays [M, cout/2]
+    half = cout // 2
+    for lo, hi in ((0, half), (half, cout)):
+        out = _dot(hid2, w3[:, lo:hi]) + b3[lo:hi]
+        if has_proj:
+            res = _dot(flat, wd[:, lo:hi]) + bd[lo:hi]
+        else:
+            res = flat[:, lo:hi].astype(jnp.float32)
+        y = jnp.maximum(out + res, 0.0).astype(jnp.bfloat16)
+        out_scr[:, :, :, lo:hi] = y.reshape(bt, h, w, hi - lo)
+
+    return out_scr[:, :, :, :cout]
 
 
 def fused_bottleneck_chain(
@@ -91,12 +97,12 @@ def fused_bottleneck_chain(
     assert n % block_tiles == 0, (n, block_tiles)
     has_proj = [len(bw) == 8 for bw in block_weights]
     cout = block_weights[-1][4].shape[-1]
+    cout_max = max(bw[4].shape[-1] for bw in block_weights)
+    cmid_max = max(bw[0].shape[-1] for bw in block_weights)
     flat_weights = [arr for bw in block_weights for arr in bw]
 
-    cmid_max = max(bw[0].shape[-1] for bw in block_weights)
-
     def kernel(x_ref, *refs):
-        out_ref, padded_scr, cols_scr = refs[-3], refs[-2], refs[-1]
+        out_ref, padded_scr, out_scr = refs[-3], refs[-2], refs[-1]
         w_refs = refs[:-3]
         val = x_ref[:]
         idx = 0
@@ -106,7 +112,7 @@ def fused_bottleneck_chain(
             idx += nw
             val = _block_body(
                 val, weights, has_proj[bi], h, w, block_tiles,
-                padded_scr, cols_scr,
+                padded_scr, out_scr,
             )
         out_ref[:] = val
 
@@ -145,7 +151,7 @@ def fused_bottleneck_chain(
         out_shape=jax.ShapeDtypeStruct((n, h, w, cout), jnp.bfloat16),
         scratch_shapes=[
             pltpu.VMEM((block_tiles, h + 2, w + 2, cmid_max), jnp.bfloat16),
-            pltpu.VMEM((block_tiles * h * w, 9 * cmid_max), jnp.bfloat16),
+            pltpu.VMEM((block_tiles, h, w, cout_max), jnp.bfloat16),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops,

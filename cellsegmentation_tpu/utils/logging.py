@@ -35,6 +35,11 @@ class RunLogger:
         self.run_name = run_name or time.strftime("%Y%m%d-%H%M%S")
         self._csv_files: dict[str, tuple] = {}
         self._tb = None
+        # CST_DISABLE_TB=1 turns TensorBoard off globally: torch's event
+        # writer thread + this env's protobuf mix can SIGABRT long pytest
+        # sessions (tests/conftest.py sets it)
+        if os.environ.get("CST_DISABLE_TB"):
+            tensorboard = False
         if tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter

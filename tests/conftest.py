@@ -8,6 +8,7 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # mute XLA AOT-cache chatter
+os.environ["CST_DISABLE_TB"] = "1"  # torch TB writer thread aborts long sessions
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -22,11 +23,13 @@ import pytest  # noqa: E402
 # ignores the env override — force the CPU backend through the config API.
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the first run pays XLA compiles, repeat runs
-# of the suite replay them from disk (critical on this 1-core CPU host).
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# NB: the persistent compilation cache is deliberately NOT enabled for the
+# CPU test suite. XLA:CPU's AOT cache loader on this host logs machine-
+# feature mismatches ("+prefer-no-scatter ... could lead to execution errors
+# such as SIGILL") and long pytest sessions intermittently die with SIGABRT
+# while fetching results of cache-loaded executables. Fresh compiles are
+# slower but deterministic. (TPU CLI runs keep their cache — the axon remote
+# compiler has been reliable.)
 
 
 @pytest.fixture

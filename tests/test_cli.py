@@ -113,6 +113,22 @@ class TestTestCLIs:
         assert rows[0] == ["image_id", "x", "y"]
         assert glob.glob(os.path.join(dst, "detect", "mask_*.png"))
 
+    def test_detect_on_h5_patches(self, trained, tmp_path):
+        """Detection over an .h5 patch source (reference's third source kind,
+        dataset/dataset.py:555-564)."""
+        workspace, out, _, _, pt3 = trained
+        from cellsegmentation_tpu.cli import test_seg
+
+        dst = str(tmp_path / "det_h5")
+        test_seg.main(
+            ["-m", pt3, "--data_path", str(workspace / "test.h5"), "-o", dst,
+             "--f32", "--detect", "-B", "3"]
+        )
+        csvs = glob.glob(os.path.join(dst, "detect", "*-location.csv"))
+        assert csvs
+        masks = glob.glob(os.path.join(dst, "detect", "mask_*.png"))
+        assert len(masks) == 6  # one stitched mask per h5 image
+
     def test_point_eval(self, trained, tmp_path):
         workspace, out, _, _, pt3 = trained
         from cellsegmentation_tpu.cli import test_seg
@@ -189,20 +205,38 @@ class TestEnsemble:
         assert sum(sizes) == n
 
     def test_train_and_test_ensemble(self, workspace):
-        from cellsegmentation_tpu.cli import test_ensemble, train_ensemble
+        """Runs the ensemble CLIs as real subprocesses: the true `python -m`
+        surface, and isolation from the long pytest session's XLA:CPU state
+        (training a fleet of models in-process intermittently SIGABRTs the
+        CPU runtime deep into big sessions)."""
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env["CST_PLATFORM"] = "cpu"
+        env["CST_DISABLE_TB"] = "1"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 
         out = str(workspace / "ens")
-        train_ensemble.main(
-            ["--data_path", str(workspace), "-o", out, "--f32", "-E",
-             "resnet18", "-k", "2", "-e", "1", "-B", "4", "--test_every", "1"]
+        r = subprocess.run(
+            [sys.executable, "-m", "cellsegmentation_tpu.cli.train_ensemble",
+             "--data_path", str(workspace), "-o", out, "--f32", "-E",
+             "resnet18", "-k", "2", "-e", "1", "-B", "4", "--test_every", "1"],
+            env=env, cwd="/root/repo", capture_output=True, text=True,
+            timeout=1200,
         )
+        assert r.returncode == 0, r.stderr[-2000:]
         ckpts = glob.glob(os.path.join(out, "reg_pt1_*_1epochs.ckpt"))
         assert len(ckpts) == 2
         dst = str(workspace / "ens_out")
-        test_ensemble.main(
-            ["-m", out, "-e", "1", "--data_path", str(workspace), "-o", dst,
-             "--f32", "-B", "4"]
+        r = subprocess.run(
+            [sys.executable, "-m", "cellsegmentation_tpu.cli.test_ensemble",
+             "-m", out, "-e", "1", "--data_path", str(workspace), "-o", dst,
+             "--f32", "-B", "4"],
+            env=env, cwd="/root/repo", capture_output=True, text=True,
+            timeout=1200,
         )
+        assert r.returncode == 0, r.stderr[-2000:]
         csvs = glob.glob(os.path.join(dst, "*-count-e1.csv"))
         assert csvs
         with open(csvs[0]) as f:
