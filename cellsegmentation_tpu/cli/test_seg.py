@@ -228,21 +228,27 @@ def main(argv=None) -> None:
         else:
             import jax.numpy as jnp
 
-            images, masks = [], []
-            for i in range(len(testset)):
-                patch = testset.get_patch(i)
-                images.append(patch)
-            images = np.stack(images)
-            for s in range(0, len(images), args.batch_size):
-                chunk = images[s : s + args.batch_size]
-                m = seg_infer(
-                    variables, jnp.asarray(chunk),
-                    jnp.zeros((len(chunk),), jnp.int32),
+            # stream patch batches (a WSI patch set does not fit in RAM)
+            os.makedirs(args.output, exist_ok=True)
+            idx = 0
+            for s in range(0, len(testset), args.batch_size):
+                chunk = np.stack(
+                    [
+                        testset.get_patch(i)
+                        for i in range(s, min(s + args.batch_size, len(testset)))
+                    ]
                 )
-                masks.extend(np.asarray(m))
-            save_images_with_masks(
-                list(images), masks, args.threshold, args.output, soft=args.soft_mask
-            )
+                m = np.asarray(
+                    seg_infer(
+                        variables, jnp.asarray(chunk),
+                        jnp.zeros((len(chunk),), jnp.int32),
+                    )
+                )
+                save_images_with_masks(
+                    list(chunk), list(m), args.threshold, args.output,
+                    soft=args.soft_mask, start_index=idx,
+                )
+                idx += len(chunk)
         return
 
     _point_eval(args, model, variables)

@@ -25,6 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-k", "--kfold", type=int, default=10)
     parser.add_argument("--organ", type=str, default=None)
     parser.add_argument("--reg_only", action="store_true")
+    parser.add_argument("--weighted_mse", action="store_true",
+                        help="use WeightedMSELoss for the count regression")
     parser.add_argument("--hard_threshold", type=float, default=None)
     parser.add_argument("-r", "--resume", type=str, default=None)
     return parser
@@ -74,6 +76,7 @@ def main(argv=None) -> None:
         scheduler=args.scheduler,
         test_every=args.test_every,
         heads="reg" if args.reg_only else "both",
+        reg_loss="weighted_mse" if args.weighted_mse else "mse",
         hard_threshold=args.hard_threshold,
         encoder_name=encoder,
         output_dir=args.output,

@@ -181,20 +181,23 @@ def save_images_with_masks(
     threshold: float,
     output_path: str,
     soft: bool = False,
+    start_index: int = 0,
 ) -> None:
     """Thresholded mask overlays + optional soft/ prob pngs
-    (reference: utils/image_processing.py:170-191)."""
+    (reference: utils/image_processing.py:170-191). ``start_index`` lets
+    callers stream batches while keeping the 1-based file numbering."""
     import cv2
 
     os.makedirs(output_path, exist_ok=True)
     for i in range(len(images)):
+        n = start_index + i + 1
         img = images[i].copy()
         classes = masks[i] > threshold
         if soft:
             soft_dir = os.path.join(output_path, "soft")
             os.makedirs(soft_dir, exist_ok=True)
             soft_map = np.uint8(255 * masks[i] * classes)
-            cv2.imwrite(os.path.join(soft_dir, f"{i + 1:05}.png"), soft_map)
+            cv2.imwrite(os.path.join(soft_dir, f"{n:05}.png"), soft_map)
             cmap = cv2.applyColorMap(255 - soft_map, cv2.COLORMAP_JET)
             img = cv2.addWeighted(img, 0.5, cmap, 0.5, 0)
         else:
@@ -202,7 +205,7 @@ def save_images_with_masks(
             for c in range(3):
                 img[:, :, c] = img[:, :, c] * 0.5 + overlay
         cv2.imwrite(
-            os.path.join(output_path, f"test_{i + 1:05}.png"),
+            os.path.join(output_path, f"test_{n:05}.png"),
             cv2.cvtColor(img.astype(np.uint8), cv2.COLOR_RGB2BGR),
         )
 

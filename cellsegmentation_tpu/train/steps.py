@@ -58,8 +58,14 @@ def make_image_train_step(
     alpha: float = 1.0,
     beta: float = 1.0,
     heads: str = "both",  # "both" | "cls" | "reg"
+    reg_loss: str = "mse",  # "mse" | "weighted_mse"
 ):
-    """Step over batches {images: u8 [B,H,W,3], flip, cls, reg, valid}."""
+    """Step over batches {images: u8 [B,H,W,3], flip, cls, reg, valid}.
+
+    ``reg_loss="weighted_mse"`` applies the reference's WeightedMSELoss
+    (ln-weight quirk included; reference: train/losses.py:17-29, kept as an
+    option like the commented-out criterion at train_image.py:478).
+    """
 
     def loss_fn(params, batch_stats, batch, rng):
         x = normalize_images(batch["images"], batch["flip"])
@@ -77,7 +83,13 @@ def make_image_train_step(
             logp, batch["cls"][:, None].astype(jnp.int32), axis=-1
         )[:, 0]
         ce = _masked_mean(ce_each, valid)
-        se_each = (out_reg[:, 0].astype(jnp.float32) - batch["reg"].astype(jnp.float32)) ** 2
+        targets = batch["reg"].astype(jnp.float32)
+        se_each = (out_reg[:, 0].astype(jnp.float32) - targets) ** 2
+        if reg_loss == "weighted_mse":
+            weights = jnp.where(
+                targets >= 20, jnp.log(jnp.maximum(targets, 1e-12)), targets
+            )
+            se_each = weights * se_each
         se = _masked_mean(se_each, valid)
         if heads == "cls":
             loss = alpha * ce

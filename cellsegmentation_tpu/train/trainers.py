@@ -79,6 +79,7 @@ def train_stage1(
     scheduler: Optional[str] = None,
     test_every: int = 1,
     heads: str = "both",
+    reg_loss: str = "mse",
     hard_threshold: Optional[float] = None,
     encoder_name: str = "resnet50",
     output_dir: Optional[str] = None,
@@ -111,12 +112,16 @@ def train_stage1(
         use_sgd=scheduler is not None,  # reference: SGD iff scheduler given
         weight_decay=weight_decay,
     )
-    if resume_opt_state is not None:
+    if last_epoch:
+        # schedules are pure functions of the step counter, so resuming is
+        # just fast-forwarding it (reference restores scheduler.last_epoch,
+        # train_image.py:514-517)
         state = state.replace(
-            opt_state=resume_opt_state,
-            step=jnp.asarray(last_epoch * steps_per_epoch, jnp.int32),
+            step=jnp.asarray(last_epoch * steps_per_epoch, jnp.int32)
         )
-    step_fn = steps_mod.make_image_train_step(model, heads=heads)
+    if resume_opt_state is not None:
+        state = state.replace(opt_state=resume_opt_state)
+    step_fn = steps_mod.make_image_train_step(model, heads=heads, reg_loss=reg_loss)
     infer_fn = steps_mod.make_image_infer_step(model)
     base_rng = jax.random.PRNGKey(seed)
 
@@ -284,6 +289,10 @@ def train_stage2(
         use_sgd=scheduler is not None,
         weight_decay=weight_decay,
     )
+    if last_epoch:
+        state = state.replace(
+            step=jnp.asarray(last_epoch * nominal_steps, jnp.int32)
+        )
 
     def dense_probs(source) -> np.ndarray:
         """[N, T] tile probs with images streamed from the resident stack
@@ -478,6 +487,8 @@ def train_stage3(
         use_sgd=scheduler is not None,
         weight_decay=weight_decay,
     )
+    if last_epoch:
+        state = state.replace(step=jnp.asarray(last_epoch * len(it), jnp.int32))
     step_fn = steps_mod.make_seg_train_step(model)
     base_rng = jax.random.PRNGKey(seed)
     aug_rng = np.random.default_rng(seed)

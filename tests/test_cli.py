@@ -215,7 +215,11 @@ class TestEnsemble:
         env = dict(os.environ)
         env["CST_PLATFORM"] = "cpu"
         env["CST_DISABLE_TB"] = "1"
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+        # 2 devices -> pure-dp mesh. With 8 (a (4,2) mesh) the fold training
+        # intermittently SIGABRTs inside XLA:CPU — the only flow combining
+        # tensor-sharded params with donated buffers on the host platform;
+        # TP coverage lives in test_parallel/dryrun_multichip instead.
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 
         out = str(workspace / "ens")
         r = subprocess.run(
