@@ -51,6 +51,36 @@ class TestShardings:
         assert shardings["narrow"]["kernel"].spec == jax.sharding.PartitionSpec()
 
 
+class TestMeshStage2E2E:
+    def test_stage2_trainer_on_mesh(self, tmp_path):
+        """The full inference→select→train cycle on a (4,2) dp+tp mesh,
+        exercising mesh-divisible batch rounding on the ragged selection."""
+        from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
+        from cellsegmentation_tpu.train.trainers import train_stage2
+        from cellsegmentation_tpu.utils.logging import RunLogger
+
+        h5 = str(tmp_path / "training.h5")
+        make_synthetic_h5(h5, n_images=16, image_size=48, max_cells=8, seed=4)
+        src = LystoDataSource(h5, train=True, kfold=4)
+        val = LystoDataSource(h5, train=False, kfold=4)
+        model = build_model("resnet18", policy=F32_POLICY)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        mesh = make_mesh(data=4, model=2)
+        logger = RunLogger(str(tmp_path), tensorboard=False)
+        r = train_stage2(
+            model, variables, src, val,
+            epochs=1, tile_batch_size=128, image_batch=4,
+            tile_size=16, interval=16, tiles_per_pos=2, topk_neg=3,
+            pos_neg_ratio=0.5, threshold=0.5, lr=1e-3,
+            encoder_name="resnet18", output_dir=str(tmp_path),
+            logger=logger, mesh=mesh, seed=0,
+        )
+        logger.close()
+        assert r.last_metrics is not None
+        err, fpr, fnr = r.last_metrics
+        assert 0 <= err <= 1
+
+
 class TestDPEquivalence:
     def test_sharded_step_matches_single_device(self, rng):
         """The dp-sharded stage-1 step must produce the same loss and (SGD)
