@@ -207,6 +207,30 @@ class TestSchedules:
         assert float(sched(5)) == pytest.approx(0.5, abs=1e-6)
 
 
+class TestResume:
+    def test_stage1_resume_fast_forwards_schedule(self, model_and_vars, tmp_path):
+        """Resuming at epoch N must continue the LR schedule, not restart it
+        (reference restores scheduler.last_epoch, train_image.py:514-517)."""
+        from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
+        from cellsegmentation_tpu.train.trainers import train_stage1
+        from cellsegmentation_tpu.utils.logging import RunLogger
+
+        model, variables = model_and_vars
+        h5 = str(tmp_path / "training.h5")
+        make_synthetic_h5(h5, n_images=8, image_size=32, max_cells=5, seed=1)
+        src = LystoDataSource(h5, train=True, kfold=4)
+        logger = RunLogger(str(tmp_path), tensorboard=False)
+        result = train_stage1(
+            model, dict(variables), src, None,
+            epochs=3, batch_size=4, lr=1.0, scheduler="ExponentialLR",
+            encoder_name="resnet18", output_dir=None, logger=logger,
+            seed=0, last_epoch=2,  # resume into the final epoch
+        )
+        logger.close()
+        # 2 epochs × 2 steps/epoch skipped + 2 steps run = step 6
+        assert int(result.state.step) == 6
+
+
 class TestCheckpoint:
     def test_roundtrip_and_stage_handoff(self, model_and_vars, tmp_path):
         model, variables = model_and_vars
