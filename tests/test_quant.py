@@ -15,7 +15,7 @@ class TestWeightQuant:
         # max-abs symmetric quant: error is at most one quantization step
         # (exact-half roundings sit right at scale/2, so don't ride the edge)
         err = np.abs(w_hat - w)
-        s = np.asarray(scale)[None, :]
+        s = np.broadcast_to(np.asarray(scale)[None, :], err.shape)
         np.testing.assert_array_less(err, s * 0.75)
         assert (err / s).mean() < 0.3  # average error ~ scale/4
 
