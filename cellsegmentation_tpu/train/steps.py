@@ -276,13 +276,18 @@ def make_alternative_train_step(model: MILNet, tile_size: int, alpha=1.0, beta=1
             "valid": batch["tvalid"],
         }
         tile_state, tile_metrics = tile_step(tile_state, images_dev, tile_batch)
-        # the image pass sees the tile update (shared params, reference order)
-        image_state = image_state.replace(params=tile_state.params)
+        # the image pass sees the tile update; params AND batch_stats must be
+        # re-threaded because the steps donate their state buffers
+        image_state = image_state.replace(
+            params=tile_state.params, batch_stats=tile_state.batch_stats
+        )
         image_batch = {
             k: batch[k] for k in ("images", "flip", "cls", "reg", "valid")
         }
         image_state, image_metrics = image_step(image_state, image_batch, rng)
-        tile_state = tile_state.replace(params=image_state.params)
+        tile_state = tile_state.replace(
+            params=image_state.params, batch_stats=image_state.batch_stats
+        )
         return tile_state, image_state, {**tile_metrics, **image_metrics}
 
     return step
