@@ -80,6 +80,7 @@ def main(argv=None) -> None:
             args.encoder,
             result.state.params,
             result.state.batch_stats,
+            opt_state=result.state.opt_state,
             step=int(result.state.step),
             prefix=f"reg_pt1_{fold}",
         )

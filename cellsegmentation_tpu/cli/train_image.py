@@ -52,6 +52,7 @@ def main(argv=None) -> None:
         model, variables, ckpt = common.load_stage_checkpoint(args.resume, args)
         encoder = ckpt["encoder"]
         last_epoch = int(ckpt["epoch"])
+        resume_opt = ckpt.get("optimizer")
     else:
         encoder = args.encoder
         model, variables = common.setup_model(encoder, args, rng_seed=args.seed)

@@ -53,10 +53,12 @@ def main(argv=None) -> None:
     num = 100 if args.debug else 0
 
     last_epoch = 0
+    resume_opt = None
     if args.resume:
         model, variables, ckpt = common.load_stage_checkpoint(args.resume, args)
         encoder = ckpt["encoder"]
         last_epoch = int(ckpt["epoch"])
+        resume_opt = ckpt.get("optimizer")
     elif args.scratch:
         encoder = "resnet50"
         model, variables = common.setup_model(encoder, args, rng_seed=args.seed)
@@ -117,6 +119,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         seed=args.seed,
         last_epoch=last_epoch,
+        resume_opt_state=resume_opt,
     )
     logger.close()
 

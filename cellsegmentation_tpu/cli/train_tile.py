@@ -52,6 +52,7 @@ def main(argv=None) -> None:
     )
 
     last_epoch = 0
+    resume_opt = None
     if args.resume:
         model, variables, ckpt = common.load_stage_checkpoint(
             args.resume, args,
@@ -59,6 +60,7 @@ def main(argv=None) -> None:
         )
         encoder = ckpt["encoder"]
         last_epoch = int(ckpt["epoch"])
+        resume_opt = ckpt.get("optimizer")
     elif args.scratch:
         encoder = "resnet50"
         model, variables = common.setup_model(encoder, args, rng_seed=args.seed)
@@ -103,6 +105,7 @@ def main(argv=None) -> None:
         mesh=mesh,
         seed=args.seed,
         last_epoch=last_epoch,
+        resume_opt_state=resume_opt,
     )
     logger.close()
 

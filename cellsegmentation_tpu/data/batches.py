@@ -97,6 +97,15 @@ class BatchIterator:
             valid[:rem] = True
             yield np.concatenate([tail, pad]), valid
 
+    def fast_forward(self, epochs: int) -> None:
+        """Advance the shuffle stream as if ``epochs`` epochs had already been
+        iterated, so a resumed run replays the exact permutation sequence the
+        uninterrupted run would have seen from that epoch on."""
+        for _ in range(epochs):
+            if self.shuffle:
+                self._rng.permutation(self.n_samples)
+            self._epoch += 1
+
     def __len__(self) -> int:
         shard_len = (self.n_samples - self.process_index + self.process_count - 1) // self.process_count
         if self.drop_last:

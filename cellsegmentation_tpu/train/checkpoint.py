@@ -78,7 +78,14 @@ def save_checkpoint(
             "params": _to_host(_filter_partitions(params, parts)),
             "batch_stats": _to_host(_filter_partitions(batch_stats, parts)),
         },
-        "optimizer": _to_host(opt_state) if opt_state is not None else None,
+        # optax states are namedtuple trees; to_state_dict turns them into
+        # plain nested dicts msgpack can carry (reference saves
+        # optimizer.state_dict() the same way: train_image.py:372-386)
+        "optimizer": (
+            flax.serialization.to_state_dict(_to_host(opt_state))
+            if opt_state is not None
+            else None
+        ),
         "extra": extra or {},
     }
     if os.path.isdir(path_or_dir) or not path_or_dir.endswith(".ckpt"):
@@ -113,6 +120,21 @@ def merge_loaded(target: dict, loaded: dict) -> dict:
         return out
 
     return merge(target, loaded)
+
+
+def restore_opt_state(template_opt_state: Any, stored: Any) -> Any:
+    """Rebuild a live optax state from a checkpoint's serialized optimizer.
+
+    ``template_opt_state`` is a freshly ``tx.init``-ed state of the SAME
+    optimizer config (stage mask, sgd-vs-adam); its structure receives the
+    stored leaves (``ckpt["optimizer"]``; the reference restores
+    optimizer.load_state_dict the same way: train_image.py:463-474). Returns
+    the template unchanged when the checkpoint carries no optimizer (old
+    files / cross-stage handoff).
+    """
+    if stored is None:
+        return template_opt_state
+    return flax.serialization.from_state_dict(template_opt_state, stored)
 
 
 def restore_into(

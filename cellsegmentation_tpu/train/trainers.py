@@ -115,12 +115,19 @@ def train_stage1(
     if last_epoch:
         # schedules are pure functions of the step counter, so resuming is
         # just fast-forwarding it (reference restores scheduler.last_epoch,
-        # train_image.py:514-517)
+        # train_image.py:514-517); the shuffle stream fast-forwards too so
+        # resumed epochs see the same permutations a straight run would
         state = state.replace(
             step=jnp.asarray(last_epoch * steps_per_epoch, jnp.int32)
         )
+        it.fast_forward(last_epoch)
     if resume_opt_state is not None:
-        state = state.replace(opt_state=resume_opt_state)
+        # serialized optimizer dict from a checkpoint — restores Adam
+        # moments / SGD momentum, not just the step counter (reference:
+        # train_image.py:463-474)
+        state = state.replace(
+            opt_state=ckpt_mod.restore_opt_state(state.opt_state, resume_opt_state)
+        )
     step_fn = steps_mod.make_image_train_step(model, heads=heads, reg_loss=reg_loss)
     infer_fn = steps_mod.make_image_infer_step(model)
     base_rng = jax.random.PRNGKey(seed)
@@ -211,13 +218,15 @@ def train_stage1(
                     encoder_name,
                     state.params,
                     state.batch_stats,
+                    opt_state=state.opt_state,
                     step=int(state.step),
                 )
         except KeyboardInterrupt:
             if output_dir:
                 ckpt_mod.save_checkpoint(
                     output_dir, "image", epoch, encoder_name,
-                    state.params, state.batch_stats, step=int(state.step),
+                    state.params, state.batch_stats,
+                    opt_state=state.opt_state, step=int(state.step),
                 )
             logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
             raise
@@ -250,6 +259,7 @@ def train_stage2(
     mesh=None,
     seed: int = 42,
     last_epoch: int = 0,
+    resume_opt_state=None,
 ) -> Stage2Result:
     """PT.2 MIL tile-classifier training — the adaptive top-k cycle
     (reference: train_tile.py:71-156 + SURVEY §3.2).
@@ -292,6 +302,10 @@ def train_stage2(
     if last_epoch:
         state = state.replace(
             step=jnp.asarray(last_epoch * nominal_steps, jnp.int32)
+        )
+    if resume_opt_state is not None:
+        state = state.replace(
+            opt_state=ckpt_mod.restore_opt_state(state.opt_state, resume_opt_state)
         )
 
     def dense_probs(source) -> np.ndarray:
@@ -378,13 +392,15 @@ def train_stage2(
             if output_dir and epoch >= epochs:
                 ckpt_mod.save_checkpoint(
                     output_dir, "tile", epoch, encoder_name,
-                    state.params, state.batch_stats, step=int(state.step),
+                    state.params, state.batch_stats,
+                    opt_state=state.opt_state, step=int(state.step),
                 )
         except KeyboardInterrupt:
             if output_dir:
                 ckpt_mod.save_checkpoint(
                     output_dir, "tile", epoch, encoder_name,
-                    state.params, state.batch_stats, step=int(state.step),
+                    state.params, state.batch_stats,
+                    opt_state=state.opt_state, step=int(state.step),
                 )
             logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
             raise
@@ -469,6 +485,7 @@ def train_stage3(
     mesh=None,
     seed: int = 42,
     last_epoch: int = 0,
+    resume_opt_state=None,
 ) -> Stage3Result:
     """PT.3 segmentation-decoder training (reference: train_seg.py:75-151).
 
@@ -489,15 +506,22 @@ def train_stage3(
     )
     if last_epoch:
         state = state.replace(step=jnp.asarray(last_epoch * len(it), jnp.int32))
+        it.fast_forward(last_epoch)
+    if resume_opt_state is not None:
+        state = state.replace(
+            opt_state=ckpt_mod.restore_opt_state(state.opt_state, resume_opt_state)
+        )
     step_fn = steps_mod.make_seg_train_step(model)
     base_rng = jax.random.PRNGKey(seed)
-    aug_rng = np.random.default_rng(seed)
 
     last_loss = None
     for epoch in range(1 + last_epoch, epochs + 1):
         try:
             sums = {}
             n_batches = 0
+            # per-epoch seeded so a resumed run draws the same flips the
+            # uninterrupted run would have at this epoch
+            aug_rng = np.random.default_rng(seed + epoch)
             for sel, valid in it:
                 flips = (
                     aug_rng.integers(0, 4, size=len(sel)).astype(np.int32)
@@ -538,13 +562,15 @@ def train_stage3(
             if output_dir and epoch >= epochs:
                 ckpt_mod.save_checkpoint(
                     output_dir, "segment", epoch, encoder_name,
-                    state.params, state.batch_stats, step=int(state.step),
+                    state.params, state.batch_stats,
+                    opt_state=state.opt_state, step=int(state.step),
                 )
         except KeyboardInterrupt:
             if output_dir:
                 ckpt_mod.save_checkpoint(
                     output_dir, "segment", epoch, encoder_name,
-                    state.params, state.batch_stats, step=int(state.step),
+                    state.params, state.batch_stats,
+                    opt_state=state.opt_state, step=int(state.step),
                 )
             logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
             raise

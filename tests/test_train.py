@@ -230,6 +230,59 @@ class TestResume:
         # 2 epochs × 2 steps/epoch skipped + 2 steps run = step 6
         assert int(result.state.step) == 6
 
+    def test_resume_matches_uninterrupted_run(self, model_and_vars, tmp_path):
+        """N epochs straight == N/2 + checkpoint + resume, bit-for-bit params:
+        optimizer momentum, schedule position, shuffle stream and dropout rng
+        are all restored (reference: train_image.py:372-386,463-474 saves and
+        restores optimizer+scheduler state on -r)."""
+        import os
+
+        from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
+        from cellsegmentation_tpu.train.trainers import train_stage1
+        from cellsegmentation_tpu.utils.logging import RunLogger
+
+        model, variables = model_and_vars
+        h5 = str(tmp_path / "training.h5")
+        make_synthetic_h5(h5, n_images=8, image_size=32, max_cells=5, seed=1)
+
+        def fresh_vars():
+            # steps donate their state buffers; give each run its own leaves
+            return jax.tree_util.tree_map(np.array, variables)
+
+        common = dict(
+            epochs=2, batch_size=4, lr=1e-3, scheduler="OneCycleLR",
+            encoder_name="resnet18", seed=0,
+        )
+        logger = RunLogger(str(tmp_path), tensorboard=False)
+
+        # the straight run checkpoints every epoch, so its epoch-1 file IS
+        # the interrupted state to resume from
+        out = str(tmp_path / "run")
+        straight = train_stage1(
+            model, fresh_vars(), LystoDataSource(h5, train=True, kfold=4),
+            None, output_dir=out, logger=logger, **common,
+        )
+        ckpt = checkpoint.load_checkpoint(os.path.join(out, "pt1_1epochs.ckpt"))
+        assert ckpt["optimizer"] is not None
+        fresh = fresh_vars()
+        params, stats = checkpoint.restore_into(
+            fresh["params"], fresh["batch_stats"], ckpt
+        )
+        resumed = train_stage1(
+            model, {"params": params, "batch_stats": stats},
+            LystoDataSource(h5, train=True, kfold=4), None,
+            output_dir=None, logger=logger,
+            last_epoch=1, resume_opt_state=ckpt["optimizer"], **common,
+        )
+        logger.close()
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            straight.state.params,
+            resumed.state.params,
+        )
+
 
 class TestCheckpoint:
     def test_roundtrip_and_stage_handoff(self, model_and_vars, tmp_path):
