@@ -85,17 +85,26 @@ class BatchIterator:
         )
         self._epoch += 1
         shard = order[self.process_index :: self.process_count]
+        # SPMD lockstep: every process must yield the SAME number of batches
+        # or multi-host jit calls deadlock — pad ragged shards to the widest
+        # shard length (ceil(n/pc)) with invalid rows
+        target = -(-self.n_samples // self.process_count)
+        valid_all = np.ones(target, dtype=bool)
+        if len(shard) < target:
+            valid_all[len(shard) :] = False
+            shard = np.concatenate(
+                [shard, np.zeros(target - len(shard), dtype=shard.dtype)]
+            )
         bs = self.batch_size
-        n_full = len(shard) // bs
-        for b in range(n_full):
-            yield shard[b * bs : (b + 1) * bs], np.ones(bs, dtype=bool)
-        rem = len(shard) - n_full * bs
-        if rem and not self.drop_last:
-            tail = shard[n_full * bs :]
-            pad = np.zeros(bs - rem, dtype=tail.dtype)
-            valid = np.zeros(bs, dtype=bool)
-            valid[:rem] = True
-            yield np.concatenate([tail, pad]), valid
+        n_batches = target // bs if self.drop_last else -(-target // bs)
+        for b in range(n_batches):
+            sel = shard[b * bs : (b + 1) * bs]
+            valid = valid_all[b * bs : (b + 1) * bs]
+            if len(sel) < bs:
+                pad = bs - len(sel)
+                sel = np.concatenate([sel, np.zeros(pad, dtype=sel.dtype)])
+                valid = np.concatenate([valid, np.zeros(pad, dtype=bool)])
+            yield sel, valid
 
     def fast_forward(self, epochs: int) -> None:
         """Advance the shuffle stream as if ``epochs`` epochs had already been
@@ -107,7 +116,8 @@ class BatchIterator:
             self._epoch += 1
 
     def __len__(self) -> int:
-        shard_len = (self.n_samples - self.process_index + self.process_count - 1) // self.process_count
+        # uniform across processes (see SPMD-lockstep padding in __iter__)
+        shard_len = -(-self.n_samples // self.process_count)
         if self.drop_last:
             return shard_len // self.batch_size
-        return (shard_len + self.batch_size - 1) // self.batch_size
+        return -(-shard_len // self.batch_size)

@@ -53,12 +53,22 @@ def infer_param_shardings(tree: Any, mesh: Mesh) -> Any:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Device-put a host batch with dim 0 sharded over the data axis."""
+    """Device-put a host batch with dim 0 sharded over the data axis.
+
+    Single-process: ``batch`` is the global batch. Multi-host SPMD: every
+    process passes its process-LOCAL rows (from a process-sharded
+    BatchIterator) and the global array is assembled across hosts — the
+    DistributedSampler replacement (reference: train_image.py:432-439).
+    """
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
         spec = P(DATA_AXIS, *([None] * (x.ndim - 1))) if x.ndim >= 1 else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost and x.ndim >= 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
 

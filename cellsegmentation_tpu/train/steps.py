@@ -193,6 +193,39 @@ def make_tile_infer_step(model: MILNet, tile_size: int, coords=None, variables=N
     return infer
 
 
+def make_stack_tile_infer_step(model: MILNet, tile_size: int, coords, mesh=None):
+    """Dense tile inference gathering images from the device-resident stack.
+
+    (variables, images_stack u8 [N,H,W,3] replicated, idx i32 [G] dp-sharded,
+    flip [G]) -> probs [G,T]. The gather + forward run inside ONE jit so the
+    batch is dp-sharded over the mesh's data axis (an eager stack gather
+    would propagate the stack's replicated sharding and every chip would
+    redo the full sweep). The stack itself stays replicated by design: the
+    stage-2 hot loops gather random tiles across images, and replication
+    keeps that gather collective-free (LYSTO's 20k×299² u8 stack ≈ 5.4 GB,
+    comfortably resident per v5e chip).
+    """
+    import numpy as np
+
+    coords = np.asarray(coords)
+    dp_spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+
+        dp_spec = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
+
+    @jax.jit
+    def infer(variables, images_stack, idx, flip):
+        imgs = jnp.take(images_stack, idx, axis=0)
+        if dp_spec is not None:
+            imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
+        return _tile_infer_body(model, tile_size, variables, imgs, flip, coords)
+
+    return infer
+
+
 def _tile_infer_body(model, tile_size, variables, images, flip, coords):
     g = images.shape[0]
     tiles = extract_tiles(images, coords, tile_size)  # [G,T,ts,ts,3] u8

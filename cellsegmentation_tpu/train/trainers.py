@@ -66,6 +66,26 @@ def _mesh_batch_size(batch_size: int, mesh) -> int:
     return max(m, ((batch_size + m - 1) // m) * m)
 
 
+def _host_iter(
+    n: int, global_batch: int, mesh, *, shuffle: bool = True, seed: int = 0
+) -> BatchIterator:
+    """Process-sharded epoch iterator over GLOBAL batch sizes.
+
+    Every process draws the same permutation (same seed) and walks its own
+    interleaved shard; shard_batch then assembles the global dp-sharded
+    batch from each host's local rows. Replaces the reference's
+    DistributedSampler (reference: train_image.py:432-439).
+    """
+    pi, pc = jax.process_index(), jax.process_count()
+    gb = _mesh_batch_size(global_batch, mesh)
+    if gb % pc:
+        gb = -(-gb // pc) * pc
+    return BatchIterator(
+        n, gb // pc, shuffle=shuffle, seed=seed,
+        process_index=pi, process_count=pc,
+    )
+
+
 def train_stage1(
     model: MILNet,
     variables: dict,
@@ -101,7 +121,7 @@ def train_stage1(
     """
     logger = logger or RunLogger(output_dir or "./output")
     batch_size = _mesh_batch_size(batch_size, mesh)
-    it = BatchIterator(len(train_source), batch_size, shuffle=True, seed=seed)
+    it = _host_iter(len(train_source), batch_size, mesh, shuffle=True, seed=seed)
     steps_per_epoch = len(it)
     schedule = make_schedule(scheduler, lr, epochs, steps_per_epoch)
     state = create_train_state(
@@ -205,8 +225,9 @@ def train_stage1(
                     rows = train_source.snapshot_rows(hard)
                     train_source.random_delete(len(hard))
                     train_source.append_rows(*rows)
-                    it = BatchIterator(
-                        len(train_source), batch_size, shuffle=True, seed=seed + epoch
+                    it = _host_iter(
+                        len(train_source), batch_size, mesh,
+                        shuffle=True, seed=seed + epoch,
                     )
                     logger.info(f"  resampled {len(hard)} hard examples")
 
@@ -280,10 +301,23 @@ def train_stage2(
     h, w = train_source.image_hw
     coords = tile_grid(h, w, tile_size, interval)  # static grid
     infer_fn = steps_mod.make_tile_infer_step(model, tile_size, coords)
+    stack_infer_fn = steps_mod.make_stack_tile_infer_step(
+        model, tile_size, coords, mesh
+    )
     step_fn = steps_mod.make_tile_train_step(model, tile_size)
 
-    # one-time HBM upload of the deduplicated image stack
-    images_dev = jnp.asarray(train_source.images)
+    # One-time HBM upload of the deduplicated image stack, REPLICATED across
+    # the mesh by design: both hot loops gather random rows/tiles from it
+    # (dense sweep + selected-tile training), and replication keeps those
+    # gathers collective-free. LYSTO's full 20k×299²×3 u8 stack is ≈5.4 GB —
+    # resident per v5e chip with room to spare; dp sharding happens on the
+    # gathered batches, not the stack.
+    if mesh is not None:
+        from cellsegmentation_tpu.parallel.sharding import replicate_tree
+
+        images_dev = replicate_tree(mesh, train_source.images)
+    else:
+        images_dev = jnp.asarray(train_source.images)
 
     # Schedules are step-functions; the per-epoch batch count varies with the
     # selection, so size the schedule from a nominal epoch length.
@@ -308,21 +342,61 @@ def train_stage2(
             opt_state=ckpt_mod.restore_opt_state(state.opt_state, resume_opt_state)
         )
 
+    pc = jax.process_count()
+
     def dense_probs(source) -> np.ndarray:
-        """[N, T] tile probs with images streamed from the resident stack
-        (falls back to host gather for sources other than train_source)."""
+        """[N, T] tile probs for every image of ``source``.
+
+        The sweep walks GLOBAL contiguous batches (identical on every
+        process); for the training source images are gathered from the
+        resident stack *inside* the jitted step with a dp sharding
+        constraint, so each chip sweeps its own slice of the batch. At
+        multi-host each process transfers/reads only its addressable rows
+        and the full matrix is summed across hosts at the end (disjoint
+        fills over a zero matrix).
+        """
         n = len(source)
         flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
         base_idx = getattr(source, "base_idx", np.arange(n))
         out = np.zeros((n, coords.shape[0]), dtype=np.float32)
         it = BatchIterator(n, image_batch, shuffle=False)
         for sel, valid in it:
+            # each process contributes its contiguous local slice of the
+            # global batch (mesh device order groups a process's chips)
+            lo = jax.process_index() * len(sel) // pc
+            hi = (jax.process_index() + 1) * len(sel) // pc
+            lsel = sel[lo:hi] if pc > 1 else sel
             if source is train_source:
-                imgs = images_dev[jnp.asarray(base_idx[sel])]
+                dev = _device_batch(
+                    {
+                        "idx": base_idx[lsel].astype(np.int32),
+                        "flip": flip[lsel].astype(np.int32),
+                    },
+                    mesh,
+                )
+                probs = stack_infer_fn(
+                    state.variables, images_dev, dev["idx"], dev["flip"]
+                )
             else:
-                imgs = jnp.asarray(source.images[base_idx[sel]])
-            probs = infer_fn(state.variables, imgs, jnp.asarray(flip[sel]))
-            out[sel[valid]] = np.asarray(probs)[valid]
+                dev = _device_batch(
+                    {
+                        "images": source.images[base_idx[lsel]],
+                        "flip": flip[lsel].astype(np.int32),
+                    },
+                    mesh,
+                )
+                probs = infer_fn(state.variables, dev["images"], dev["flip"])
+            if pc == 1:
+                out[sel[valid]] = np.asarray(probs)[valid]
+            else:
+                for shard in probs.addressable_shards:
+                    rows = sel[shard.index[0]]
+                    v = valid[shard.index[0]]
+                    out[rows[v]] = np.asarray(shard.data)[v]
+        if pc > 1:
+            from jax.experimental import multihost_utils
+
+            out = np.asarray(multihost_utils.process_allgather(out)).sum(0)
         return out
 
     last_metrics = None
@@ -341,9 +415,10 @@ def train_stage2(
             )
             # 3) CE training over the selected tiles
             n_sel = len(train_data["label"])
-            it = BatchIterator(
+            it = _host_iter(
                 n_sel,
-                _mesh_batch_size(min(tile_batch_size, max(n_sel, 1)), mesh),
+                min(tile_batch_size, max(n_sel, 1)),
+                mesh,
                 shuffle=True,
                 seed=seed + epoch,
             )
@@ -494,7 +569,7 @@ def train_stage3(
     """
     logger = logger or RunLogger(output_dir or "./output")
     batch_size = _mesh_batch_size(batch_size, mesh)
-    it = BatchIterator(len(mask_source), batch_size, shuffle=True, seed=seed)
+    it = _host_iter(len(mask_source), batch_size, mesh, shuffle=True, seed=seed)
     schedule = make_schedule(scheduler, lr, epochs, len(it))
     state = create_train_state(
         variables["params"],

@@ -81,6 +81,86 @@ class TestMeshStage2E2E:
         assert 0 <= err <= 1
 
 
+class TestProcessShardedIterators:
+    """Multi-host input sharding: each process walks its own shard of the
+    same permutation — the DistributedSampler replacement (reference:
+    train_image.py:432-439)."""
+
+    def test_disjoint_and_complete_coverage(self):
+        from cellsegmentation_tpu.data.batches import BatchIterator
+
+        n, pc = 23, 2  # ragged: 23 % 2 != 0
+        seen = []
+        lens = []
+        for pi in range(pc):
+            it = BatchIterator(
+                n, 4, shuffle=True, seed=9,
+                process_index=pi, process_count=pc,
+            )
+            idx = []
+            batches = 0
+            for sel, valid in it:
+                assert len(sel) == 4 and len(valid) == 4
+                idx.extend(sel[valid].tolist())
+                batches += 1
+            seen.append(set(idx))
+            lens.append(batches)
+        # SPMD lockstep: identical batch counts despite the ragged shard
+        assert lens[0] == lens[1]
+        assert seen[0].isdisjoint(seen[1])
+        assert seen[0] | seen[1] == set(range(n))
+
+    def test_len_uniform_across_processes(self):
+        from cellsegmentation_tpu.data.batches import BatchIterator
+
+        its = [
+            BatchIterator(23, 4, process_index=pi, process_count=2)
+            for pi in range(2)
+        ]
+        assert len(its[0]) == len(its[1]) == 3
+        for it in its:
+            assert sum(1 for _ in it) == 3
+
+
+class TestStackSweepSharding:
+    def test_stack_gather_sweep_is_dp_sharded(self, rng):
+        """The stage-2 dense sweep gathers images from the replicated stack
+        INSIDE jit with a dp constraint — each chip sweeps its slice of the
+        batch instead of replicating the whole forward."""
+        from cellsegmentation_tpu.ops.tiles import tile_grid
+
+        model = build_model("resnet18", policy=F32_POLICY)
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        mesh = make_mesh(data=4, model=2)
+        stack = replicate_tree(
+            mesh, rng.integers(0, 255, size=(10, 48, 48, 3), dtype=np.uint8)
+        )
+        # the resident stack is replicated by design (collective-free gather)
+        assert stack.sharding.is_fully_replicated
+
+        coords = tile_grid(48, 48, 16, 16)
+        sweep = steps.make_stack_tile_infer_step(model, 16, coords, mesh)
+        batch = shard_batch(
+            mesh,
+            {"idx": np.arange(8, dtype=np.int32),
+             "flip": np.zeros(8, np.int32)},
+        )
+        vars_r = replicate_tree(mesh, jax.tree_util.tree_map(np.asarray, variables))
+        probs = sweep(vars_r, stack, batch["idx"], batch["flip"])
+        assert probs.shape == (8, coords.shape[0])
+        # dp over the 4-way data axis: each addressable shard holds 8/4 rows
+        row_counts = {s.data.shape[0] for s in probs.addressable_shards}
+        assert row_counts == {2}
+
+        # numerics match the plain (images-in) infer path
+        plain = steps.make_tile_infer_step(model, 16, coords)
+        imgs = np.asarray(stack)[np.arange(8)]
+        expected = plain(variables, jnp.asarray(imgs), jnp.zeros(8, jnp.int32))
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(expected), rtol=1e-5, atol=1e-6
+        )
+
+
 class TestDPEquivalence:
     def test_sharded_step_matches_single_device(self, rng):
         """The dp-sharded stage-1 step must produce the same loss and (SGD)
