@@ -76,6 +76,78 @@ def convert_resnet_encoder(
     return params, stats
 
 
+def convert_milnet_heads(
+    state_dict: Mapping[str, "object"],
+) -> tuple[dict, dict]:
+    """Reference MILNet head/decoder weights -> (params, batch_stats) for the
+    fc_tile / fc_image_cls / fc_image_reg / seg_decoder subtrees.
+
+    Reference module schema (reference: model/resnet.py:121-164):
+    - fc_tile = Sequential(Flatten, Linear)                      -> .1.weight
+    - fc_image_* = Sequential(Flatten, BN1d, Dropout, ReLU, Linear(64),
+      BN1d, Dropout, Linear(out)[, ReLU])                        -> .1/.4/.5/.7
+    - upconv<k> = Sequential(Conv2d(bias=True), BN2d, ReLU); our ConvBNAct
+      conv is bias-free, so the torch conv bias folds into the BN running
+      mean (BN(z + b) == BN'(z) with mean' = mean - b);
+    - seg_out_conv = Conv2d(64, 2, 1) with bias (matches our final nn.Conv).
+    """
+    params: dict = {}
+    stats: dict = {}
+
+    def linear(tp: str, path: list[str]) -> None:
+        _set(params, path + ["kernel"], np.asarray(state_dict[f"{tp}.weight"]).T)
+        _set(params, path + ["bias"], np.asarray(state_dict[f"{tp}.bias"]))
+
+    def bn(tp: str, path: list[str], mean_shift=None) -> None:
+        _set(params, path + ["scale"], np.asarray(state_dict[f"{tp}.weight"]))
+        _set(params, path + ["bias"], np.asarray(state_dict[f"{tp}.bias"]))
+        mean = np.asarray(state_dict[f"{tp}.running_mean"])
+        if mean_shift is not None:
+            mean = mean - mean_shift
+        _set(stats, path + ["mean"], mean)
+        _set(stats, path + ["var"], np.asarray(state_dict[f"{tp}.running_var"]))
+
+    linear("fc_tile.1", ["fc_tile", "Dense_0"])
+    for head in ("fc_image_cls", "fc_image_reg"):
+        bn(f"{head}.1", [head, "BatchNorm_0"])
+        linear(f"{head}.4", [head, "Dense_0"])
+        bn(f"{head}.5", [head, "BatchNorm_1"])
+        linear(f"{head}.7", [head, "Dense_1"])
+
+    if "seg_out_conv.weight" in state_dict:
+        for k in range(1, 9):
+            cba = ["seg_decoder", f"ConvBNAct_{k - 1}"]
+            _set(
+                params, cba + ["Conv_0", "kernel"],
+                _conv(state_dict[f"upconv{k}.0.weight"]),
+            )
+            bn(
+                f"upconv{k}.1", cba + ["BatchNorm_0"],
+                mean_shift=np.asarray(state_dict[f"upconv{k}.0.bias"]),
+            )
+        _set(
+            params, ["seg_decoder", "Conv_0", "kernel"],
+            _conv(state_dict["seg_out_conv.weight"]),
+        )
+        _set(
+            params, ["seg_decoder", "Conv_0", "bias"],
+            np.asarray(state_dict["seg_out_conv.bias"]),
+        )
+    return params, stats
+
+
+def convert_milnet(
+    state_dict: Mapping[str, "object"],
+    stage_sizes: tuple[int, ...],
+    bottleneck: bool,
+) -> tuple[dict, dict]:
+    """Full reference-MILNet state dict -> (params, batch_stats) covering
+    encoder + all four heads."""
+    enc_p, enc_s = convert_resnet_encoder(state_dict, stage_sizes, bottleneck)
+    head_p, head_s = convert_milnet_heads(state_dict)
+    return {"encoder": enc_p, **head_p}, {"encoder": enc_s, **head_s}
+
+
 _ARCHS = {
     "resnet18": ((2, 2, 2, 2), False),
     "resnet34": ((3, 4, 6, 3), False),
