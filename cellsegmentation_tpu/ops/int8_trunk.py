@@ -181,56 +181,83 @@ def quantized_chain(
     # scratch channel width: stride-2 heads stage 4 parity planes of h1
     ch_scr = max(4 * cm if stride == 2 else cm, cm)
 
-    # flatten weights (VMEM-resident via constant index_map)
-    flat_w = []
-    for b in blocks:
-        flat_w += [b.w1, b.w2, b.w3]
-        if b.wd is not None:
-            flat_w.append(b.wd)
+    # The head block (projection shortcut and/or stride) is unrolled; the
+    # remaining blocks are shape-identical cout->cm->cout residual blocks and
+    # run as ONE fori_loop over stacked weights — without this the unrolled
+    # Mosaic program (e.g. layer3: 6 blocks x ~13 GEMMs) blows up compile.
+    head: Optional[QBlock] = None
+    reps = list(blocks)
+    if stride == 2 or blocks[0].wd is not None:
+        head, reps = blocks[0], reps[1:]
+    for b in reps:
+        assert b.wd is None and b.w1.shape == (cout, cm), "reps must be uniform"
 
-    # epilogue vectors packed into two f32 refs (Pallas kernels cannot
-    # capture array constants): rows per block = [c1, b1, c2, b2] over cm
-    # and [c3, b3, cd, bd] over cout (zero rows when no projection)
-    nb = len(blocks)
-    cm_pack = np.zeros((nb, 4, cm), np.float32)
-    cout_pack = np.zeros((nb, 4, cout), np.float32)
-    for i, b in enumerate(blocks):
-        cm_pack[i] = np.stack([b.c1, b.b1, b.c2, b.b2])
-        cout_pack[i, 0], cout_pack[i, 1] = b.c3, b.b3
-        if b.wd is not None:
-            cout_pack[i, 2], cout_pack[i, 3] = b.cd, b.bd
-    cm_pack = jnp.asarray(cm_pack)
-    cout_pack = jnp.asarray(cout_pack)
+    # epilogue vectors packed into f32 refs (Pallas kernels cannot capture
+    # array constants): rows = [c1, b1, c2, b2] over cm and
+    # [c3, b3, res_c, res_b] over cout, where res_c/res_b are the projection
+    # combo/bias (head) or the identity residual scale (broadcast) for reps.
+    def _packs(blist):
+        cmp_ = np.zeros((max(len(blist), 1), 4, cm), np.float32)
+        cop = np.zeros((max(len(blist), 1), 4, cout), np.float32)
+        for i, b in enumerate(blist):
+            cmp_[i] = np.stack([b.c1, b.b1, b.c2, b.b2])
+            cop[i, 0], cop[i, 1] = b.c3, b.b3
+            if b.wd is not None:
+                cop[i, 2], cop[i, 3] = b.cd, b.bd
+            else:
+                cop[i, 2] = b.res_scale
+        return jnp.asarray(cmp_), jnp.asarray(cop)
+
+    cm_head, cout_head = _packs([head] if head else [])
+    cm_rep, cout_rep = _packs(reps)
+
+    flat_w = []
+    if head is not None:
+        flat_w += [head.w1, head.w2, head.w3]
+        if head.wd is not None:
+            flat_w.append(head.wd)
+    n_head_w = len(flat_w)
+    if reps:
+        flat_w += [
+            jnp.stack([b.w1 for b in reps]),
+            jnp.stack([b.w2 for b in reps]),
+            jnp.stack([b.w3 for b in reps]),
+        ]
+
+    col = _expand_cols(m, cout)
+
+    def _taps(blk_stride):
+        out = []
+        for di in range(3):
+            row = _tap_rows(di, ho, blk_stride)
+            if row is None:
+                continue
+            for dj in range(3):
+                colm = _tap_rows(dj, wo, blk_stride)
+                if colm is None:
+                    continue
+                out.append((di * 3 + dj, row, colm))
+        return out
 
     def kernel(x_ref, *refs):
         # out_ref doubles as the interblock staging buffer: every block in a
         # chain emits cout channels, so block k>0 reads the previous block's
         # output straight back from it (VMEM-resident until the grid step
         # completes) — no separate staging scratch.
-        cmv_ref, coutv_ref, out_ref, pad_scr = refs[-4], refs[-3], refs[-2], refs[-1]
-        w_refs = refs[:-4]
+        cmh_ref, coh_ref, cmr_ref, cor_ref = refs[-6], refs[-5], refs[-4], refs[-3]
+        out_ref, pad_scr = refs[-2], refs[-1]
+        w_refs = refs[:-6]
         pad_scr[:] = jnp.zeros_like(pad_scr)
 
-        wi = 0
-        for bi, blk in enumerate(blocks):
-            has_proj = blk.wd is not None
-            w1_ref, w2_ref, w3_ref = w_refs[wi], w_refs[wi + 1], w_refs[wi + 2]
-            wd_ref = w_refs[wi + 3] if has_proj else None
-            wi += 3 + int(has_proj)
-            s2_head = bi == 0 and stride == 2
-
-            if bi == 0:
-                xv = x_ref[:]
-            else:
-                xv = out_ref[:]
-            cin_b = xv.shape[-1]
-            flat = xv.reshape(m, cin_b)
-
-            # ---- 1x1 reduce -> h1 staged into the padded scratch
-            c1 = cmv_ref[bi, 0:1, :]
-            b1 = cmv_ref[bi, 1:2, :]
-            if s2_head:
-                cin = cin_b // 4
+        if head is not None:
+            has_proj = head.wd is not None
+            w1_ref, w2_ref, w3_ref = w_refs[0], w_refs[1], w_refs[2]
+            wd_ref = w_refs[3] if has_proj else None
+            s2 = stride == 2
+            flat = x_ref[:].reshape(m, -1)
+            c1, b1 = cmh_ref[0, 0:1, :], cmh_ref[0, 1:2, :]
+            if s2:
+                cin = flat.shape[-1] // 4
                 for p in range(4):
                     h1p = _requant_relu(
                         _dot_i8(flat[:, p * cin : (p + 1) * cin], w1_ref[:]),
@@ -239,59 +266,78 @@ def quantized_chain(
                     pad_scr[:, 1 : ho + 1, 1 : wo + 1, p * cm : (p + 1) * cm] = (
                         h1p.reshape(chunk, ho, wo, cm)
                     )
-                res_in = flat[:, : cin]  # parity plane (0,0) == x[:, ::2, ::2]
+                res_in = flat[:, :cin]  # parity plane (0,0) == x[:, ::2, ::2]
             else:
                 h1 = _requant_relu(_dot_i8(flat, w1_ref[:]), c1, b1)
                 pad_scr[:, 1 : ho + 1, 1 : wo + 1, :cm] = h1.reshape(
                     chunk, ho, wo, cm
                 )
                 res_in = flat
-
-            # ---- 3x3 as shift-sliced GEMMs, int32 accumulation
             acc = jnp.zeros((m, cm), jnp.int32)
-            blk_stride = 2 if s2_head else 1
-            for di in range(3):
-                row = _tap_rows(di, ho, blk_stride)
-                if row is None:
-                    continue
-                ai, ri = row
-                for dj in range(3):
-                    colm = _tap_rows(dj, wo, blk_stride)
-                    if colm is None:
-                        continue
-                    aj, rj = colm
-                    if s2_head:
-                        p = ri * 2 + rj
-                        win = pad_scr[
-                            :, ai : ai + ho, aj : aj + wo,
-                            p * cm : (p + 1) * cm,
-                        ]
-                    else:
-                        win = pad_scr[:, ai : ai + ho, aj : aj + wo, :cm]
-                    acc = acc + _dot_i8(
-                        win.reshape(m, cm), w2_ref[di * 3 + dj]
-                    )
-            h2 = _requant_relu(acc, cmv_ref[bi, 2:3, :], cmv_ref[bi, 3:4, :])
-
-            # ---- 1x1 expand + residual + relu + requant, in column slices
-            col = _expand_cols(m, cout)
+            for t, (ai, ri), (aj, rj) in _taps(2 if s2 else 1):
+                if s2:
+                    p = ri * 2 + rj
+                    win = pad_scr[:, ai : ai + ho, aj : aj + wo,
+                                  p * cm : (p + 1) * cm]
+                else:
+                    win = pad_scr[:, ai : ai + ho, aj : aj + wo, :cm]
+                acc = acc + _dot_i8(win.reshape(m, cm), w2_ref[t])
+            h2 = _requant_relu(acc, cmh_ref[0, 2:3, :], cmh_ref[0, 3:4, :])
             for lo in range(0, cout, col):
                 hi = lo + col
                 y = (
                     _dot_i8(h2, w3_ref[:, lo:hi]).astype(jnp.float32)
-                    * coutv_ref[bi, 0:1, lo:hi]
-                    + coutv_ref[bi, 1:2, lo:hi]
+                    * coh_ref[0, 0:1, lo:hi] + coh_ref[0, 1:2, lo:hi]
                 )
                 if has_proj:
                     y = y + (
                         _dot_i8(res_in, wd_ref[:, lo:hi]).astype(jnp.float32)
-                        * coutv_ref[bi, 2:3, lo:hi]
-                        + coutv_ref[bi, 3:4, lo:hi]
+                        * coh_ref[0, 2:3, lo:hi] + coh_ref[0, 3:4, lo:hi]
                     )
                 else:
-                    y = y + res_in[:, lo:hi].astype(jnp.float32) * blk.res_scale
+                    y = y + (
+                        res_in[:, lo:hi].astype(jnp.float32)
+                        * coh_ref[0, 2:3, lo:hi]
+                    )
                 yq = jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
                 out_ref[:, :, :, lo:hi] = yq.reshape(chunk, ho, wo, col)
+        else:
+            # uniform chain: seed the staging buffer with the input
+            out_ref[:] = x_ref[:]
+
+        if reps:
+            w1s_ref, w2s_ref, w3s_ref = w_refs[n_head_w:]
+            taps = _taps(1)
+
+            def rep_body(r, _):
+                flat = out_ref[:].reshape(m, cout)
+                h1 = _requant_relu(
+                    _dot_i8(flat, w1s_ref[r]),
+                    cmr_ref[r, 0:1, :], cmr_ref[r, 1:2, :],
+                )
+                pad_scr[:, 1 : ho + 1, 1 : wo + 1, :cm] = h1.reshape(
+                    chunk, ho, wo, cm
+                )
+                acc = jnp.zeros((m, cm), jnp.int32)
+                for t, (ai, _ri), (aj, _rj) in taps:
+                    win = pad_scr[:, ai : ai + ho, aj : aj + wo, :cm]
+                    acc = acc + _dot_i8(win.reshape(m, cm), w2s_ref[r, t])
+                h2 = _requant_relu(
+                    acc, cmr_ref[r, 2:3, :], cmr_ref[r, 3:4, :]
+                )
+                for lo in range(0, cout, col):
+                    hi = lo + col
+                    y = (
+                        _dot_i8(h2, w3s_ref[r, :, lo:hi]).astype(jnp.float32)
+                        * cor_ref[r, 0:1, lo:hi] + cor_ref[r, 1:2, lo:hi]
+                        + flat[:, lo:hi].astype(jnp.float32)
+                        * cor_ref[r, 2:3, lo:hi]
+                    )
+                    yq = jnp.clip(jnp.round(y), 0.0, 127.0).astype(jnp.int8)
+                    out_ref[:, :, :, lo:hi] = yq.reshape(chunk, ho, wo, col)
+                return 0
+
+            jax.lax.fori_loop(0, len(reps), rep_body, 0)
 
     cin0 = x_q.shape[-1]
     in_specs = [
@@ -308,7 +354,7 @@ def quantized_chain(
         pl.BlockSpec(
             v.shape, lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        for v in (cm_pack, cout_pack)
+        for v in (cm_head, cout_head, cm_rep, cout_rep)
     ]
 
     flops = 0
@@ -346,7 +392,7 @@ def quantized_chain(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(x_q, *flat_w, cm_pack, cout_pack)
+    )(x_q, *flat_w, cm_head, cout_head, cm_rep, cout_rep)
 
 
 # ---------------------------------------------------------------------------
