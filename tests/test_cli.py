@@ -205,21 +205,17 @@ class TestEnsemble:
         assert sum(sizes) == n
 
     def test_train_and_test_ensemble(self, workspace):
-        """Runs the ensemble CLIs as real subprocesses: the true `python -m`
-        surface, and isolation from the long pytest session's XLA:CPU state
-        (training a fleet of models in-process intermittently SIGABRTs the
-        CPU runtime deep into big sessions)."""
+        """Runs the ensemble CLIs as real subprocesses — the true `python -m`
+        surface. (The round-1 in-process SIGABRT was attributed to the
+        XLA:CPU persistent-cache loader, disabled since; in-process mesh
+        coverage lives in test_parallel.TestEnsembleMeshInProcess.)"""
         import subprocess
         import sys
 
         env = dict(os.environ)
         env["CST_PLATFORM"] = "cpu"
         env["CST_DISABLE_TB"] = "1"
-        # 2 devices -> pure-dp mesh. With 8 (a (4,2) mesh) the fold training
-        # intermittently SIGABRTs inside XLA:CPU — the only flow combining
-        # tensor-sharded params with donated buffers on the host platform;
-        # TP coverage lives in test_parallel/dryrun_multichip instead.
-        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+        env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
 
         out = str(workspace / "ens")
         r = subprocess.run(

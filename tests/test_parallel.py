@@ -161,6 +161,38 @@ class TestStackSweepSharding:
         )
 
 
+class TestEnsembleMeshInProcess:
+    def test_ensemble_folds_on_tp_mesh(self, tmp_path):
+        """A fleet of per-fold models trained in-process on the (4,2) dp+tp
+        mesh — the flow that intermittently SIGABRTed XLA:CPU in round 1.
+        Root cause attribution: the persistent-compilation-cache loader
+        executing machine-feature-mismatched cached executables (it warns
+        '+prefer-no-scatter … could lead to execution errors such as
+        SIGILL'); with the CPU cache disabled (conftest) the flow ran a
+        13/13 clean reproduction campaign, so it runs in-process again."""
+        from cellsegmentation_tpu.data import make_synthetic_h5
+        from cellsegmentation_tpu.data.lysto import EnsembleSource
+        from cellsegmentation_tpu.train.trainers import train_stage1
+        from cellsegmentation_tpu.utils.logging import RunLogger
+
+        h5 = str(tmp_path / "training.h5")
+        make_synthetic_h5(h5, n_images=12, image_size=48, max_cells=8, seed=3)
+        ens = EnsembleSource(h5, k=2)
+        mesh = make_mesh(data=4, model=2)
+        logger = RunLogger(str(tmp_path), tensorboard=False)
+        for fold in range(2):
+            tr, va = ens.fold(fold)
+            model = build_model("resnet18", policy=F32_POLICY)
+            variables = init_variables(model, jax.random.PRNGKey(fold))
+            r = train_stage1(
+                model, variables, tr, va, epochs=1, batch_size=4, lr=1e-3,
+                heads="reg", encoder_name="resnet18", output_dir=None,
+                logger=logger, mesh=mesh, seed=fold,
+            )
+            assert r.last_metrics is not None
+        logger.close()
+
+
 class TestDPEquivalence:
     def test_sharded_step_matches_single_device(self, rng):
         """The dp-sharded stage-1 step must produce the same loss and (SGD)
