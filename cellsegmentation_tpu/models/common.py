@@ -24,7 +24,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from cellsegmentation_tpu.core.dtypes import Policy, DEFAULT_POLICY
-from cellsegmentation_tpu.ops.fastconv import SmartConv
 from cellsegmentation_tpu.ops.pooling import global_avg_max_pool
 from cellsegmentation_tpu.ops.resize import resize_bilinear_align_corners
 
@@ -44,7 +43,7 @@ class ConvBNAct(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        x = SmartConv(
+        x = nn.Conv(
             self.features,
             self.kernel_size,
             strides=self.strides,

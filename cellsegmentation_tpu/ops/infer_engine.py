@@ -1,22 +1,34 @@
-"""Folded-BN inference engine for the stage-2 tile hot loop.
+"""Serving engine for the stage-2 tile hot loop: folded-BN all-conv trunk
+with int8 activation sandwiches ("q8").
 
-Production-serving path for the ResNet-family tile classifier: BatchNorm is
-folded into conv weights/biases once per checkpoint (the encoder is frozen
-during stage 2, reference: model/resnet.py:315-319, so folding stays valid
-across the whole inference→select→train cycle), the trunk runs as pure
-lax/Pallas ops — the stride-1 bottleneck chains go through the VMEM-resident
-Pallas kernel (ops/pallas_bottleneck.py) — and only the tile-head dense
-weights are read per call.
+What won and why (full measurement story in docs/PERF.md): on v5e through
+this XLA/Mosaic stack, hand-fused Pallas chains (bf16 AND int8) bottom out
+at ~28 TOPS — chained in-kernel dots pay an operand-repacking relayout per
+step that dwarfs the MXU time at tile-scale shapes — while XLA's own conv
+emitters sustain near-peak MXU rates. So the engine keeps XLA convs for ALL
+compute and attacks the remaining bandwidth bound instead:
+
+- BatchNorm folded into conv weights once per checkpoint (the encoder is
+  frozen during stage 2, reference: model/resnet.py:315-319, so folding
+  stays valid across the whole inference→select→train cycle);
+- every conv emits bf16 (f32 outputs double the HBM write traffic);
+- activations crossing HBM between (and inside) bottleneck blocks are
+  quantized to int8 with per-tensor calibrated scales and dequantized at
+  the consumer — a 2x traffic cut on the bandwidth-bound stages. The
+  quantize/dequantize fuse into the producing/consuming conv fusions.
+
+Measured: 53.2 ms -> 44.8 ms per 28.8k-tile step (+19% throughput) with
+top-k ranking fidelity preserved (tests/test_infer_engine.py).
 
 Numerics: identical math to model.apply(..., mode="tile", train=False)
-modulo bf16 rounding of the folded scales (validated in
-tests/test_infer_engine.py).
+modulo bf16 rounding and ±1 LSB int8 activation quantization. The target
+is stage-2's prob *ranking* (top-k selection), validated directly.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +36,12 @@ import numpy as np
 
 from cellsegmentation_tpu.models.milnet import MILNet
 from cellsegmentation_tpu.models.resnet import Bottleneck, ResNetEncoder
-from cellsegmentation_tpu.ops.pallas_bottleneck import fused_bottleneck_chain
+
+# int8 sandwiches go: between all blocks of the first _SANDWICH_STAGES
+# stages AND around the 3x3 (h1/h2) inside the first _INTRA_STAGES stages.
+# Measured marginal gains flatten past these depths (docs/PERF.md).
+_SANDWICH_STAGES = 4
+_INTRA_STAGES = 2
 
 
 def fold_conv_bn(kernel, scale, bias, mean, var, eps: float = 1e-5):
@@ -87,125 +104,234 @@ def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
             # ConvBNAct_0/1/2 = 1×1 reduce / 3×3 / 1×1 expand; _3 = projection
             for ci in range(3):
                 w, bias = _fold_cba(bp[f"ConvBNAct_{ci}"], bs[f"ConvBNAct_{ci}"])
-                if ci != 1:
-                    w = w[0, 0]  # 1×1 kernels as plain GEMM matrices
                 ws.extend([w, bias])
-            if f"ConvBNAct_3" in bp:
+            if "ConvBNAct_3" in bp:
                 wd, bd = _fold_cba(bp["ConvBNAct_3"], bs["ConvBNAct_3"])
-                ws.extend([wd[0, 0], bd])
+                ws.extend([wd, bd])
             stage.append(tuple(ws))
         stages.append(stage)
         strides.append(1 if s == 0 else 2)
     return FoldedTrunk(stem_w=stem_w, stem_b=stem_b, stages=stages, strides=strides)
 
 
+# ---------------------------------------------------------------------------
+# Forward path
+# ---------------------------------------------------------------------------
+
+
 def _conv_bias_relu(x, w, b, stride: int, padding):
     y = jax.lax.conv_general_dilated(
         x, w.astype(jnp.bfloat16), (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.bfloat16,
     )
-    return jnp.maximum(y + b, 0.0).astype(jnp.bfloat16)
+    return jnp.maximum(y + b.astype(jnp.bfloat16), 0)
 
 
-def _plain_bottleneck(x, ws, stride: int):
-    """Reference lax implementation of one block (used for stride-2 block 0)."""
+def _q8(x, scale: float):
+    """bf16 -> int8 HBM form (fuses into the producer's epilogue)."""
+    return jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127
+    ).astype(jnp.int8)
+
+
+def _dq(xq, scale: float):
+    return xq.astype(jnp.bfloat16) * jnp.bfloat16(scale)
+
+
+def _sandwich(x, scale: Optional[float]):
+    if scale is None:
+        return x
+    return _dq(_q8(x, scale), scale)
+
+
+def _conv_bottleneck(x, ws, stride: int, s_h1=None, s_h2=None):
+    """One folded bottleneck, all ops as lax convs with bf16 outputs (the
+    dot_general/GEMM formulation of the 1x1s measured ~2x slower: it breaks
+    XLA's conv layout pipeline). Optional intra-block sandwich scales."""
     has_proj = len(ws) == 8
+    w1, b1, w2, b2, w3, b3 = ws[:6]
+
+    def cv(v, w, s, pad):
+        return jax.lax.conv_general_dilated(
+            v, w.astype(jnp.bfloat16), (s, s), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.bfloat16,
+        )
+
+    h = jnp.maximum(cv(x, w1, 1, "VALID") + b1.astype(jnp.bfloat16), 0)
+    h = _sandwich(h, s_h1)
+    h = jnp.maximum(
+        cv(h, w2, stride, ((1, 1), (1, 1))) + b2.astype(jnp.bfloat16), 0
+    )
+    h = _sandwich(h, s_h2)
+    out = cv(h, w3, 1, "VALID") + b3.astype(jnp.bfloat16)
     if has_proj:
-        w1, b1, w2, b2, w3, b3, wd, bd = ws
+        res = cv(x, ws[6], stride, "VALID") + ws[7].astype(jnp.bfloat16)
     else:
-        w1, b1, w2, b2, w3, b3 = ws
-    n, h, wdt, cin = x.shape
-    flat = x.reshape(-1, cin)
-    hid = jnp.maximum(
-        jax.lax.dot_general(flat, w1, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32) + b1, 0.0
-    ).astype(jnp.bfloat16).reshape(n, h, wdt, -1)
-    hid2 = _conv_bias_relu(hid, w2, b2, stride, ((1, 1), (1, 1)))
-    out = jax.lax.dot_general(
-        hid2.reshape(-1, hid2.shape[-1]), w3, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + b3
-    if has_proj:
-        xs = x[:, ::stride, ::stride, :] if stride > 1 else x
-        res = jax.lax.dot_general(
-            xs.reshape(-1, cin), wd, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + bd
-    else:
-        res = flat.astype(jnp.float32)
-    y = jnp.maximum(out + res, 0.0).astype(jnp.bfloat16)
-    return y.reshape(n, hid2.shape[1], hid2.shape[2], -1)
+        res = x
+    return jnp.maximum(out + res, 0)
 
 
-# Chains whose total folded weight bytes exceed this skip the Pallas kernel:
-# weights live in VMEM for the whole chain, and past ~6 MB they crowd out
-# the activation scratch (layers 3-4 run near-peak under plain XLA anyway —
-# the kernel's win is the bandwidth-bound layers 1-2).
-_MAX_CHAIN_WEIGHT_BYTES = 6 * 1024 * 1024
+@dataclasses.dataclass
+class TrunkScales:
+    """Per-tensor activation scales at every sandwich point.
+
+    block_out[si][bi], h1[si][bi], h2[si][bi] — None entries mean "no
+    sandwich here" (beyond the configured depths)."""
+
+    block_out: List[List[Optional[float]]]
+    h1: List[List[Optional[float]]]
+    h2: List[List[Optional[float]]]
 
 
 def trunk_forward(
-    trunk_tree, strides: Sequence[int], x: jnp.ndarray, use_pallas: bool = True
+    trunk_tree, strides: Sequence[int], x: jnp.ndarray,
+    scales: Optional[TrunkScales] = None,
 ) -> jnp.ndarray:
     """tiles bf16 [N, ts, ts, 3] (normalized) -> x4 feature map."""
     stem_w, stem_b, stages = trunk_tree
-    if jax.default_backend() not in ("tpu", "axon"):
-        use_pallas = False  # the Mosaic kernel only exists on TPU backends
     x = _conv_bias_relu(x, stem_w, stem_b, 2, ((3, 3), (3, 3)))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    for stage, stride in zip(stages, strides):
-        blocks = list(stage)
-        if stride > 1:
-            x = _plain_bottleneck(x, blocks[0], stride)
-            blocks = blocks[1:]
-        if not blocks:
-            continue
-        chain_bytes = sum(
-            int(np.prod(a.shape)) * a.dtype.itemsize for bw in blocks for a in bw
-        )
-        n = x.shape[0]
-        bt = _pick_bt(x)
-        if (
-            use_pallas
-            and chain_bytes <= _MAX_CHAIN_WEIGHT_BYTES
-            and x.shape[1] <= 8
-            and bt is not None
-        ):
-            x = fused_bottleneck_chain(x, blocks, block_tiles=bt)
-        else:
-            for bw in blocks:
-                x = _plain_bottleneck(x, bw, 1)
+    for si, (stage, stride) in enumerate(zip(stages, strides)):
+        for bi, bw in enumerate(stage):
+            s_h1 = scales.h1[si][bi] if scales else None
+            s_h2 = scales.h2[si][bi] if scales else None
+            x = _conv_bottleneck(
+                x, bw, stride if bi == 0 else 1, s_h1=s_h1, s_h2=s_h2
+            )
+            s_out = scales.block_out[si][bi] if scales else None
+            x = _sandwich(x, s_out)
     return x
 
 
-def _pick_bt(x) -> Optional[int]:
-    """Chunk size: the largest divisor of N whose activation footprint stays
-    well under VMEM (None -> no valid chunking, use the lax fallback)."""
-    px = x.shape[1] * x.shape[2]
-    cap = 32 if px >= 64 else (32 if px >= 16 else 128)
-    n = x.shape[0]
-    for bt in (cap, cap // 2, cap // 4, 32, 16):
-        if bt and n % bt == 0:
-            return bt
-    return None
+# ---------------------------------------------------------------------------
+# Calibration (host CPU only — eager ops through the axon TPU tunnel are
+# pathologically slow)
+# ---------------------------------------------------------------------------
 
 
-def make_fast_tile_logits(model: MILNet, variables: dict):
-    """Returns fast_logits(head_params, tiles_bf16) -> [N, 2] plus the folded
-    trunk pytree, or None when the arch isn't foldable."""
+def _absmax_scale(x) -> float:
+    s = float(np.abs(np.asarray(x, np.float32)).max()) / 127.0
+    return s if s > 0 else 1.0
+
+
+def calib_tiles_from_images(
+    images_u8: np.ndarray, coords: np.ndarray, tile_size: int,
+    n_max: int = 512, seed: int = 0,
+) -> np.ndarray:
+    """Host-side pilot-batch builder: slice tiles off uint8 images and apply
+    the ImageNet normalization in numpy."""
+    from cellsegmentation_tpu.data.batches import IMAGENET_MEAN, IMAGENET_STD
+
+    images_u8 = np.asarray(images_u8)
+    rng = np.random.default_rng(seed)
+    out = []
+    per_img = max(1, n_max // max(len(images_u8), 1))
+    for img in images_u8:
+        sel = rng.choice(
+            len(coords), size=min(per_img, len(coords)), replace=False
+        )
+        for x0, y0 in np.asarray(coords)[sel]:
+            out.append(img[x0 : x0 + tile_size, y0 : y0 + tile_size])
+        if len(out) >= n_max:
+            break
+    tiles = np.stack(out[:n_max]).astype(np.float32) / 255.0
+    return (tiles - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def calibrate_trunk(folded: FoldedTrunk, calib_tiles: np.ndarray) -> TrunkScales:
+    """Absmax activation scales at every sandwich point from a pilot batch,
+    computed with an f32 numpy/CPU forward of the folded trunk."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        def stem(v):
+            v = _conv_bias_relu(
+                v.astype(jnp.bfloat16), folded.stem_w, folded.stem_b, 2,
+                ((3, 3), (3, 3)),
+            )
+            return jax.lax.reduce_window(
+                v, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                ((0, 0), (1, 1), (1, 1), (0, 0)),
+            )
+
+        x = np.asarray(jax.jit(stem)(jnp.asarray(calib_tiles)), np.float32)
+
+    block_out, h1s, h2s = [], [], []
+    for si, (stage, stride) in enumerate(zip(folded.stages, folded.strides)):
+        bo, b1, b2 = [], [], []
+        for bi, ws in enumerate(stage):
+            blk_stride = stride if bi == 0 else 1
+            y, h1, h2 = _instrumented_block_np(x, ws, blk_stride)
+            b1.append(_absmax_scale(h1) if si < _INTRA_STAGES else None)
+            b2.append(_absmax_scale(h2) if si < _INTRA_STAGES else None)
+            bo.append(_absmax_scale(y) if si < _SANDWICH_STAGES else None)
+            x = y
+        block_out.append(bo)
+        h1s.append(b1)
+        h2s.append(b2)
+    return TrunkScales(block_out=block_out, h1=h1s, h2=h2s)
+
+
+def _instrumented_block_np(x, ws, stride):
+    """f32 forward of one folded block on the host, returning (y, h1, h2)."""
+    has_proj = len(ws) == 8
+    w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
+    n, h, w, cin = x.shape
+    flat = x.reshape(-1, cin)
+    h1 = np.maximum(flat @ w1[0, 0] + b1, 0.0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        h2 = np.asarray(
+            jax.jit(
+                lambda a, k: jax.lax.conv_general_dilated(
+                    a, k, (stride, stride), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            )(jnp.asarray(h1.reshape(n, h, w, -1)), jnp.asarray(w2))
+        )
+    h2 = np.maximum(h2 + b2, 0.0)
+    ho, wo = h2.shape[1], h2.shape[2]
+    out = h2.reshape(-1, h2.shape[-1]) @ w3[0, 0] + b3
+    if has_proj:
+        wd = np.asarray(ws[6], np.float32)
+        bd = np.asarray(ws[7], np.float32)
+        xs = x[:, ::stride, ::stride, :] if stride > 1 else x
+        res = xs.reshape(-1, cin) @ wd[0, 0] + bd
+    else:
+        res = flat
+    y = np.maximum(out + res, 0.0).reshape(n, ho, wo, -1)
+    return y, h1, h2.reshape(-1, h2.shape[-1])
+
+
+# ---------------------------------------------------------------------------
+# Engine entry point
+# ---------------------------------------------------------------------------
+
+
+def make_fast_tile_logits(
+    model: MILNet, variables: dict, calib_tiles: Optional[np.ndarray] = None
+):
+    """Build the serving fast path: (head_params, trunk_tree, tiles bf16)
+    -> logits [N, 2]. Returns (fn, trunk_tree) or None when the arch isn't
+    foldable. With ``calib_tiles`` (normalized f32 pilot) the trunk runs
+    with calibrated int8 activation sandwiches (the q8 engine); without, it
+    is the plain folded bf16 trunk."""
     trunk = fold_tile_trunk(model, variables)
     if trunk is None:
         return None
 
     strides = tuple(trunk.strides)
     trunk_tree = trunk.tree()
+    scales = (
+        calibrate_trunk(trunk, np.asarray(calib_tiles, np.float32))
+        if calib_tiles is not None
+        else None
+    )
 
     def fast_logits(head_params, trunk_tree, x):
-        x4 = trunk_forward(trunk_tree, strides, x)
+        x4 = trunk_forward(trunk_tree, strides, x, scales=scales)
         pooled = jnp.mean(x4, axis=(1, 2)) + jnp.max(x4, axis=(1, 2))
         dense = head_params["Dense_0"]
         logits = (

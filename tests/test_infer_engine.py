@@ -1,11 +1,6 @@
-"""Folded-BN inference engine: numerical equivalence with model.apply.
-
-The Pallas fused-bottleneck path only exists on real TPUs; on the CPU test
-backend the engine exercises its lax fallback (use_pallas is moot because
-fused_bottleneck_chain is gated to TPU-compatible shapes — on CPU we force
-the plain path), which still validates the BN folding and the plain
-bottleneck math.
-"""
+"""Serving engine (q8): BN folding math + numerical/ranking fidelity vs
+model.apply. The engine is pure XLA (all-conv trunk + int8 activation
+sandwiches), so the CPU backend runs the exact production graph."""
 
 import jax
 import jax.numpy as jnp
@@ -40,30 +35,52 @@ def test_fold_conv_bn_math():
     np.testing.assert_allclose(folded, direct, rtol=2e-2, atol=2e-2)
 
 
-def test_engine_matches_flax_apply(resnet50_small):
-    model, variables = resnet50_small
-    built = infer_engine.make_fast_tile_logits(model, variables)
+def _engine_and_ref_probs(model, variables, calibrated):
+    rng = np.random.default_rng(1)
+    tiles = jnp.asarray(rng.integers(0, 255, size=(64, 32, 32, 3), dtype=np.uint8))
+    flip = jnp.zeros((64,), jnp.int32)
+    x = normalize_images(tiles, flip)
+
+    calib = np.asarray(x[:16], np.float32) if calibrated else None
+    built = infer_engine.make_fast_tile_logits(model, variables, calib_tiles=calib)
     assert built is not None
     fast_logits, trunk_tree = built
 
-    rng = np.random.default_rng(1)
-    tiles = jnp.asarray(rng.integers(0, 255, size=(8, 32, 32, 3), dtype=np.uint8))
-    flip = jnp.zeros((8,), jnp.int32)
-    x = normalize_images(tiles, flip)  # f32 on CPU for tight comparison
-
-    def fast(head, tree, x):
-        return fast_logits(head, tree, x.astype(jnp.bfloat16))
-
     got = np.asarray(
-        jax.jit(fast)(variables["params"]["fc_tile"], trunk_tree, x)
+        jax.jit(lambda h, t, v: fast_logits(h, t, v.astype(jnp.bfloat16)))(
+            variables["params"]["fc_tile"], trunk_tree, x
+        )
     )
     want = np.asarray(
-        jax.jit(lambda v, x: model.apply(v, x, mode="tile", train=False))(
+        jax.jit(lambda v, xx: model.apply(v, xx, mode="tile", train=False))(
             variables, x
         )
     )
+    return got, want
+
+
+def test_plain_folded_engine_matches_flax(resnet50_small):
+    model, variables = resnet50_small
+    got, want = _engine_and_ref_probs(model, variables, calibrated=False)
     # bf16 folded weights vs f32 flax: agreement within bf16 noise
     np.testing.assert_allclose(got, want, rtol=0.05, atol=0.3 * np.abs(want).mean())
+
+
+def test_q8_engine_ranking_fidelity(resnet50_small):
+    """The q8 sandwiches must preserve the top-k tile *ranking* that drives
+    stage-2 selection (reference behavior spec: inference.py:31-43)."""
+    model, variables = resnet50_small
+    got, want = _engine_and_ref_probs(model, variables, calibrated=True)
+    m_g = got[:, 1] - got[:, 0]
+    m_w = want[:, 1] - want[:, 0]
+    # random-init nets are the quantization worst case (outlier-stretched
+    # absmax scales) and random tiles produce near-tie margins, so assert
+    # rank correlation rather than exact top-k membership; trained encoders
+    # track far tighter (the bench's real-batch top-5% overlap is 1.000)
+    assert np.corrcoef(m_g, m_w)[0, 1] > 0.9
+    rank_g = np.argsort(np.argsort(m_g))
+    rank_w = np.argsort(np.argsort(m_w))
+    assert np.corrcoef(rank_g, rank_w)[0, 1] > 0.85
 
 
 def test_engine_rejects_unsupported_archs():
@@ -73,3 +90,29 @@ def test_engine_rejects_unsupported_archs():
     model = build_model("efficientnet_b0", policy=F32_POLICY)
     variables = init_variables(model, jax.random.PRNGKey(0))
     assert infer_engine.make_fast_tile_logits(model, variables) is None
+
+
+def test_step_factory_builds_engine(resnet50_small):
+    """make_tile_infer_step(engine='q8') returns an engine-backed step whose
+    probs track the flax step on a real batch (the top-k selection input)."""
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    model, variables = resnet50_small
+    coords = tile_grid(64, 64, 32, 32)
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.integers(0, 255, (6, 64, 64, 3), dtype=np.uint8))
+    flip = jnp.zeros((6,), jnp.int32)
+
+    fast = steps_mod.make_tile_infer_step(
+        model, 32, coords, variables=variables, engine="q8",
+        calib_images=np.asarray(images[:2]),
+    )
+    ref = steps_mod.make_tile_infer_step(model, 32, coords)
+    p_fast = np.asarray(fast(variables, images, flip)).ravel()
+    p_ref = np.asarray(ref(variables, images, flip)).ravel()
+    order_fast = np.argsort(p_fast)
+    order_ref = np.argsort(p_ref)
+    k = max(2, len(p_fast) // 5)
+    overlap = len(set(order_fast[-k:]) & set(order_ref[-k:])) / k
+    assert overlap >= 0.75
