@@ -19,7 +19,9 @@ from cellsegmentation_tpu.utils.logging import RunLogger
 
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="pt.2: tile-wise MIL training")
-    common.add_common_args(parser, default_epochs=30, default_batch=128, default_lr=5e-5)
+    # -B is the image batch of the dense sweeps (192 tuned on v5e: bench.py
+    # batch sweep 64/128/192 -> 2665/2880/3036 img-equiv/s)
+    common.add_common_args(parser, default_epochs=30, default_batch=192, default_lr=5e-5)
     parser.add_argument("-m", "--model", type=str, default=None,
                         help="stage-1 checkpoint to start from")
     parser.add_argument("-r", "--resume", type=str, default=None,
