@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-n", "--topk_neg", type=int, default=30)
     parser.add_argument("-R", "--pos_neg_ratio", type=float, default=0.5)
     parser.add_argument("-c", "--threshold", type=float, default=0.95)
+    parser.add_argument("--infer_engine", choices=("auto", "q8", "flax"),
+                        default="auto",
+                        help="dense-sweep engine (auto: q8 when foldable)")
     return parser
 
 
@@ -108,6 +111,7 @@ def main(argv=None) -> None:
         seed=args.seed,
         last_epoch=last_epoch,
         resume_opt_state=resume_opt,
+        infer_engine=args.infer_engine,
     )
     logger.close()
 

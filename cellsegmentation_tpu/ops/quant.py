@@ -1,13 +1,12 @@
-"""int8 quantization primitives for the tile-inference trunk (round-2 perf).
+"""int8 quantization primitives.
 
-Feasibility measured on v5e (docs/VALIDATION.md + memory): native int8
-``dot_general`` sustains ~69 TOP/s through this tunnel's calibration harness
-(≈2× the achievable bf16 rate), while int8 ``lax.conv`` at tile-scale
-spatial is pathological — so the quantized trunk must be GEMM-formulated
-(an int8 twin of ops/infer_engine's folded forward).
+These building blocks back the q8 serving engine's activation sandwiches
+(ops/infer_engine.py) and pin the quantization numerics in tests/test_quant.py.
+(The fully-quantized GEMM trunk they originally targeted was built, measured,
+and deleted — docs/PERF.md records why: chained in-kernel int8 dots collapse
+to ~28 TOPS on operand-repacking relayouts on this Mosaic toolchain.)
 
-This module provides the symmetric-quantization building blocks and a
-quantized GEMM with the standard scale algebra:
+Symmetric quantization with the standard scale algebra:
 
     y = (x_q · w_q) · (s_x ⊗ s_w) + b        x_q int8, w_q int8, accum int32
 

@@ -33,10 +33,16 @@ def capture(out_dir: str) -> None:
     coords = tile_grid(299, 299, 32, 20)
     model = build_model("resnet50")
     variables = init_variables(model, jax.random.PRNGKey(0))
-    infer = steps_mod.make_tile_infer_step(model, 32, coords)
     rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.integers(0, 255, size=(128, 299, 299, 3), dtype=np.uint8))
-    flip = jnp.zeros((128,), jnp.int32)
+    b = jnp.asarray(rng.integers(0, 255, size=(192, 299, 299, 3), dtype=np.uint8))
+    flip = jnp.zeros((192,), jnp.int32)
+    engine = os.environ.get("CST_PROFILE_ENGINE", "q8")  # q8|flax
+    kwargs = (
+        dict(variables=variables, engine=engine, calib_images=np.asarray(b[:4]))
+        if engine in ("q8", "auto")
+        else {}
+    )
+    infer = steps_mod.make_tile_infer_step(model, 32, coords, **kwargs)
     float(jnp.sum(infer(variables, b, flip)))  # compile + warm
     jax.profiler.start_trace(out_dir)
     sums = [jnp.sum(infer(variables, b, flip)) for _ in range(4)]
