@@ -22,7 +22,6 @@ import argparse
 import csv
 import json
 import os
-import time
 
 import numpy as np
 

@@ -12,7 +12,6 @@ import os
 
 from cellsegmentation_tpu.cli import common
 from cellsegmentation_tpu.data.lysto import LystoDataSource
-from cellsegmentation_tpu.train import checkpoint as ckpt_mod
 from cellsegmentation_tpu.train.trainers import train_stage1
 from cellsegmentation_tpu.utils.logging import RunLogger
 

@@ -17,7 +17,6 @@ from cellsegmentation_tpu.models.milnet import (
     ENCODER_KEY,
     IMAGE_CLS_KEY,
     IMAGE_REG_KEY,
-    SEG_KEY,
     TILE_KEY,
 )
 from cellsegmentation_tpu.train.trainers import draw_pseudo_masks, train_stage3

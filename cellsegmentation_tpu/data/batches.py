@@ -12,7 +12,7 @@ validity mask, so every step hits the same compiled program.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import jax
 import jax.numpy as jnp

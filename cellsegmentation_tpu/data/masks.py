@@ -15,7 +15,7 @@ Reference semantics:
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

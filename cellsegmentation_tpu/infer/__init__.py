@@ -17,7 +17,6 @@ from cellsegmentation_tpu.data.lysto import LystoDataSource
 from cellsegmentation_tpu.ops.categorize import categorize_np, de_categorize_np
 from cellsegmentation_tpu.ops.tiles import tile_grid
 from cellsegmentation_tpu.ops.topk import adaptive_topk_mask
-from cellsegmentation_tpu.train import steps as train_steps
 
 
 def apply_cls_limit(counts: np.ndarray, categories: np.ndarray) -> np.ndarray:

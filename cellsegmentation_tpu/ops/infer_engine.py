@@ -28,7 +28,7 @@ is stage-2's prob *ranking* (top-k selection), validated directly.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -18,10 +18,9 @@ through momentum) — optax.add_decayed_weights before the optimizer core.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any
 
 import flax.struct
-import jax
 import jax.numpy as jnp
 import optax
 

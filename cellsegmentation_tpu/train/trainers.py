@@ -10,7 +10,7 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import os
-from typing import Callable, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
