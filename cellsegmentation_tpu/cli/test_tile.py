@@ -65,7 +65,9 @@ def main(argv=None) -> None:
     )
     h0, w0 = source.image_hw
     tile_infer = steps_mod.make_tile_infer_step(
-        model, args.tile_size, tile_grid(h0, w0, args.tile_size, args.interval)
+        model, args.tile_size, tile_grid(h0, w0, args.tile_size, args.interval),
+        variables=variables, engine="auto",
+        calib_images=source.images[: min(4, len(source.images))],
     )
     probs = inference_tiles(
         source, tile_infer, variables, args.tile_size, args.interval,
