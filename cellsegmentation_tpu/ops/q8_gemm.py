@@ -1,0 +1,153 @@
+"""Single-dot Pallas int8 GEMM with fused dequant/bias/residual/requant
+epilogue — the compute primitive of the stage-2 serving trunk.
+
+Round-2 established (docs/PERF.md) that multi-conv chains fused inside one
+Mosaic kernel are a dead end end-to-end, and round-3 re-measurement (after
+removing a ~30 ms per-call fetch floor that contaminated every round-2
+microbench) showed that a *single* int8 GEMM per Pallas call runs at the
+roofline: ~390-420 TOPS on compute-bound trunk shapes, and at the int8
+bandwidth cap (~170 TOPS, still 2x the bf16 rate) on the small-K shapes.
+So the trunk's convs each become ONE Pallas int8 GEMM with XLA glue
+between kernels; 3x3 convs on tiny tile spatial maps become whole-tile
+GEMMs (see ops/q8_trunk.py).
+
+Epilogue (fused into the final K-step, so activations cross HBM as int8):
+
+    y = acc_i32 * (in_scale * w_scale[col]) + bias[col]   # dequant + bias
+    y += residual_i8 * res_scale                          # optional skip
+    y = relu(y)                                           # optional
+    out = int8 round(y / out_scale)  |  bf16 y            # requant | final
+
+Per-OUTPUT-CHANNEL weight scales ride a [1, N] f32 input; per-tensor
+activation scales are Python floats baked at trace time (they come from
+checkpoint calibration and are constant for a whole stage-2 cycle — the
+encoder is frozen, reference: model/resnet.py:315-319).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_block(dim: int, candidates) -> int:
+    for c in candidates:
+        if dim % c == 0:
+            return c
+    return dim
+
+
+def _mm_kernel(*refs, out_spec, has_res):
+    """One (BM, BN) output block; grid dim 2 walks K accumulating in VMEM."""
+    if has_res:
+        x_ref, w_ref, b_ref, ws_ref, r_ref, o_ref, acc_ref = refs
+    else:
+        x_ref, w_ref, b_ref, ws_ref, o_ref, acc_ref = refs
+        r_ref = None
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(pl.program_id(2) == pl.num_programs(2) - 1)
+    def _():
+        kind, in_scale, res_scale, out_scale, relu = out_spec
+        y = acc_ref[:].astype(jnp.float32) * (in_scale * ws_ref[:])
+        y = y + b_ref[:]
+        if r_ref is not None:
+            y = y + r_ref[:].astype(jnp.float32) * res_scale
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if kind == "int8":
+            o_ref[:] = jnp.clip(
+                jnp.round(y * (1.0 / out_scale)), -127, 127
+            ).astype(jnp.int8)
+        elif kind == "bf16":
+            o_ref[:] = y.astype(jnp.bfloat16)
+        else:  # int32 raw accumulator (microbench)
+            o_ref[:] = acc_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("out_kind", "in_scale", "res_scale", "out_scale",
+                     "relu", "bm", "bn", "bk", "interpret"),
+)
+def q8_matmul(
+    x: jnp.ndarray,  # [M, K] int8
+    w: jnp.ndarray,  # [K, N] int8
+    bias: jnp.ndarray,  # [N] f32 (already BN-folded)
+    w_scale: jnp.ndarray,  # [N] f32 per-output-channel weight scales
+    residual: jnp.ndarray | None = None,  # [M, N] int8, added pre-relu
+    out_kind: str = "int8",  # "int8" | "bf16" | "int32"
+    in_scale: float = 1.0,
+    res_scale: float = 1.0,
+    out_scale: float = 1.0,
+    relu: bool = True,
+    bm: int = 0,
+    bn: int = 0,
+    bk: int = 0,
+    interpret: bool = False,
+):
+    """requant(relu(x_i8 @ w_i8 * scales + bias [+ residual])) in one call.
+
+    M must divide by the chosen bm (a multiple of 32; 960 divides every
+    trunk M including 43200-tile steps), K and N by 128.
+    """
+    m, k = x.shape
+    _, n = w.shape
+    bm = bm or _pick_block(m, (1024, 960, 512, 256, 128, 64, 32))
+    bn = bn or _pick_block(n, (512, 256, 128))
+    bk = bk or _pick_block(k, (2048, 1024, 512, 384, 256, 128))
+    grid = (m // bm, n // bn, k // bk)
+    out_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "int32": jnp.int32}[
+        out_kind
+    ]
+    has_res = residual is not None
+    kernel = functools.partial(
+        _mm_kernel,
+        out_spec=(out_kind, in_scale, res_scale, out_scale, relu),
+        has_res=has_res,
+    )
+    in_specs = [
+        pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((bk, bn), lambda i, j, kk: (kk, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, bias.reshape(1, n), w_scale.reshape(1, n)]
+    if has_res:
+        in_specs.append(
+            pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(residual)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + k * n + m * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
