@@ -58,9 +58,9 @@ def build_step(engine: str):
     flip = jnp.zeros((IMAGE_BATCH,), jnp.int32)
 
     kwargs = {}
-    if engine in ("q8", "auto"):
+    if engine in ("q8", "q8g", "q8d", "q8dg", "auto"):
         kwargs = dict(
-            variables=variables, engine="q8",
+            variables=variables, engine="q8" if engine == "auto" else engine,
             calib_images=np.asarray(batches[0][:4]),
         )
     infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords, **kwargs)
@@ -90,7 +90,7 @@ def measure(infer_fn, variables, batches, flip, n_steps: int, rounds: int) -> fl
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--engine", choices=("flax", "q8", "auto"), default="auto")
+    parser.add_argument("--engine", choices=("flax", "q8", "q8g", "q8d", "q8dg", "auto"), default="auto")
     parser.add_argument("--quick", action="store_true",
                         help="short run + >10%% regression gate vs BENCH_REF.json")
     parser.add_argument("--record", action="store_true",

@@ -178,25 +178,33 @@ class TrunkScales:
     """Per-tensor activation scales at every sandwich point.
 
     block_out[si][bi], h1[si][bi], h2[si][bi] — None entries mean "no
-    sandwich here" (beyond the configured depths)."""
+    sandwich here" (beyond the configured depths). ``proj[si][bi]`` (only
+    populated by deep calibration) is the scale of the b1 projection
+    output, needed by the GEMM backend's residual fusion."""
 
     block_out: List[List[Optional[float]]]
     h1: List[List[Optional[float]]]
     h2: List[List[Optional[float]]]
+    proj: Optional[List[List[Optional[float]]]] = None
 
 
 def trunk_forward(
     trunk_tree, strides: Sequence[int], x: jnp.ndarray,
-    scales: Optional[TrunkScales] = None,
+    scales: Optional[TrunkScales] = None, n_stages: Optional[int] = None,
 ) -> jnp.ndarray:
-    """tiles bf16 [N, ts, ts, 3] (normalized) -> x4 feature map."""
+    """tiles bf16 [N, ts, ts, 3] (normalized) -> x4 feature map.
+
+    ``n_stages`` truncates the walk (the GEMM backend consumes the stem +
+    stage-0 output and runs layers 2-4 itself)."""
     stem_w, stem_b, stages = trunk_tree
     x = _conv_bias_relu(x, stem_w, stem_b, 2, ((3, 3), (3, 3)))
     x = jax.lax.reduce_window(
         x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
         ((0, 0), (1, 1), (1, 1), (0, 0)),
     )
-    for si, (stage, stride) in enumerate(zip(stages, strides)):
+    if n_stages is None:
+        n_stages = len(stages)
+    for si, (stage, stride) in enumerate(zip(stages[:n_stages], strides)):
         for bi, bw in enumerate(stage):
             s_h1 = scales.h1[si][bi] if scales else None
             s_h2 = scales.h2[si][bi] if scales else None
@@ -204,7 +212,15 @@ def trunk_forward(
                 x, bw, stride if bi == 0 else 1, s_h1=s_h1, s_h2=s_h2
             )
             s_out = scales.block_out[si][bi] if scales else None
-            x = _sandwich(x, s_out)
+            truncated_last = (
+                n_stages < len(stages)
+                and si == n_stages - 1
+                and bi == len(stage) - 1
+            )
+            # the truncated walk's last output is quantized by the caller
+            # (GEMM backend) instead of being sandwiched here
+            if not truncated_last:
+                x = _sandwich(x, s_out)
     return x
 
 
@@ -243,9 +259,15 @@ def calib_tiles_from_images(
     return (tiles - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def calibrate_trunk(folded: FoldedTrunk, calib_tiles: np.ndarray) -> TrunkScales:
+def calibrate_trunk(
+    folded: FoldedTrunk, calib_tiles: np.ndarray, deep: bool = False
+) -> TrunkScales:
     """Absmax activation scales at every sandwich point from a pilot batch,
-    computed with an f32 numpy/CPU forward of the folded trunk."""
+    computed with an f32 numpy/CPU forward of the folded trunk.
+
+    ``deep=True`` (GEMM backend) records h1/h2 at EVERY stage plus the b1
+    projection-output scales, since the backend quantizes every inter-op
+    tensor rather than only the configured sandwich depths."""
     with jax.default_device(jax.devices("cpu")[0]):
         def stem(v):
             v = _conv_bias_relu(
@@ -259,24 +281,33 @@ def calibrate_trunk(folded: FoldedTrunk, calib_tiles: np.ndarray) -> TrunkScales
 
         x = np.asarray(jax.jit(stem)(jnp.asarray(calib_tiles)), np.float32)
 
-    block_out, h1s, h2s = [], [], []
+    block_out, h1s, h2s, projs = [], [], [], []
     for si, (stage, stride) in enumerate(zip(folded.stages, folded.strides)):
-        bo, b1, b2 = [], [], []
+        bo, b1, b2, pr = [], [], [], []
         for bi, ws in enumerate(stage):
             blk_stride = stride if bi == 0 else 1
-            y, h1, h2 = _instrumented_block_np(x, ws, blk_stride)
-            b1.append(_absmax_scale(h1) if si < _INTRA_STAGES else None)
-            b2.append(_absmax_scale(h2) if si < _INTRA_STAGES else None)
-            bo.append(_absmax_scale(y) if si < _SANDWICH_STAGES else None)
+            y, h1, h2, res = _instrumented_block_np(x, ws, blk_stride)
+            intra = deep or si < _INTRA_STAGES
+            b1.append(_absmax_scale(h1) if intra else None)
+            b2.append(_absmax_scale(h2) if intra else None)
+            bo.append(
+                _absmax_scale(y) if (deep or si < _SANDWICH_STAGES) else None
+            )
+            pr.append(_absmax_scale(res) if (deep and len(ws) == 8) else None)
             x = y
         block_out.append(bo)
         h1s.append(b1)
         h2s.append(b2)
-    return TrunkScales(block_out=block_out, h1=h1s, h2=h2s)
+        projs.append(pr)
+    return TrunkScales(
+        block_out=block_out, h1=h1s, h2=h2s, proj=projs if deep else None
+    )
 
 
 def _instrumented_block_np(x, ws, stride):
-    """f32 forward of one folded block on the host, returning (y, h1, h2)."""
+    """f32 forward of one folded block on the host, returning
+    (y, h1, h2, res) — res is the pre-add residual branch (projection
+    output for b1 blocks, the identity otherwise)."""
     has_proj = len(ws) == 8
     w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
     n, h, w, cin = x.shape
@@ -302,7 +333,7 @@ def _instrumented_block_np(x, ws, stride):
     else:
         res = flat
     y = np.maximum(out + res, 0.0).reshape(n, ho, wo, -1)
-    return y, h1, h2.reshape(-1, h2.shape[-1])
+    return y, h1, h2.reshape(-1, h2.shape[-1]), res
 
 
 # ---------------------------------------------------------------------------
@@ -310,20 +341,74 @@ def _instrumented_block_np(x, ws, stride):
 # ---------------------------------------------------------------------------
 
 
+def _head_logits(head_params, x4):
+    pooled = jnp.mean(x4, axis=(1, 2)) + jnp.max(x4, axis=(1, 2))
+    dense = head_params["Dense_0"]
+    return (
+        jax.lax.dot_general(
+            pooled.astype(jnp.bfloat16), dense["kernel"].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + dense["bias"]
+    )
+
+
 def make_fast_tile_logits(
-    model: MILNet, variables: dict, calib_tiles: Optional[np.ndarray] = None
+    model: MILNet, variables: dict, calib_tiles: Optional[np.ndarray] = None,
+    backend: str = "conv",
 ):
     """Build the serving fast path: (head_params, trunk_tree, tiles bf16)
     -> logits [N, 2]. Returns (fn, trunk_tree) or None when the arch isn't
     foldable. With ``calib_tiles`` (normalized f32 pilot) the trunk runs
     with calibrated int8 activation sandwiches (the q8 engine); without, it
-    is the plain folded bf16 trunk."""
+    is the plain folded bf16 trunk.
+
+    ``backend="gemm"`` (requires calib_tiles) replaces layers 2-4 with
+    per-conv Pallas int8 GEMMs (ops/q8_trunk.py) — whole-tile GEMM 3x3s,
+    residuals fused in epilogues, every inter-op tensor int8 in HBM."""
     trunk = fold_tile_trunk(model, variables)
     if trunk is None:
         return None
 
     strides = tuple(trunk.strides)
     trunk_tree = trunk.tree()
+
+    if backend == "gemm" and calib_tiles is not None:
+        from cellsegmentation_tpu.ops.q8_trunk import (
+            TILE_ALIGN,
+            build_q8_backend,
+            q8_backend_forward,
+        )
+
+        calib = np.asarray(calib_tiles, np.float32)
+        scales = calibrate_trunk(trunk, calib, deep=True)
+        ts = calib.shape[1]
+        h_in = w_in = ts // 4  # stem s2 + maxpool s2
+        qparams, qmetas = build_q8_backend(trunk, scales, h_in, w_in)
+        s0 = float(scales.block_out[0][-1])
+        interpret = jax.default_backend() == "cpu"
+        full_tree = (trunk_tree, qparams)
+
+        hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
+
+        def fast_logits_gemm(head_params, tree, x):
+            conv_tree, qp = tree
+            x1 = trunk_forward(
+                conv_tree, strides, x, scales=scales, n_stages=1
+            )
+            m0 = x1.shape[0]
+            # conv->GEMM seam: quantize + flatten NHWC into the whole-tile
+            # [N, px*C] layout (the one physical relayout of the backend)
+            xq = _q8(x1, s0).reshape(m0, -1)
+            pad = (-m0) % TILE_ALIGN
+            if pad:
+                xq = jnp.pad(xq, ((0, pad), (0, 0)))
+            feats = q8_backend_forward(qp, qmetas, xq, interpret=interpret)
+            x4 = feats.reshape(feats.shape[0], hf, wf, cf)
+            return _head_logits(head_params, x4)[:m0]
+
+        return fast_logits_gemm, full_tree
+
     scales = (
         calibrate_trunk(trunk, np.asarray(calib_tiles, np.float32))
         if calib_tiles is not None
@@ -332,15 +417,95 @@ def make_fast_tile_logits(
 
     def fast_logits(head_params, trunk_tree, x):
         x4 = trunk_forward(trunk_tree, strides, x, scales=scales)
-        pooled = jnp.mean(x4, axis=(1, 2)) + jnp.max(x4, axis=(1, 2))
-        dense = head_params["Dense_0"]
-        logits = (
-            jax.lax.dot_general(
-                pooled.astype(jnp.bfloat16), dense["kernel"].astype(jnp.bfloat16),
-                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-            )
-            + dense["bias"]
-        )
-        return logits
+        return _head_logits(head_params, x4)
 
     return fast_logits, trunk_tree
+
+
+def make_dense_tile_probs(
+    model: MILNet, variables: dict, tile_size: int, interval: int, hw: int,
+    calib_tiles: np.ndarray, backend: str = "conv",
+):
+    """Dense shared-stem sweep: (head_params, tree, images u8 [G,hw,hw,3],
+    flip [G]) -> probs [G, T] in reference tile order.
+
+    The stem + layer1 run ONCE per image (ops/dense_frontend.py — the 32/20
+    grid recomputes 2.58x redundant pixels per-tile); per-tile 8x8 patches
+    are gathered from the dense /4 feature map and layers 2-4 run per tile
+    through the conv sandwiches (backend="conv") or the int8 GEMM trunk
+    (backend="gemm", ops/q8_trunk.py). Returns None when the arch or grid
+    is unsupported (caller falls back to the per-tile path).
+    """
+    from cellsegmentation_tpu.data.batches import normalize_images
+    from cellsegmentation_tpu.ops.dense_frontend import (
+        dense_grid_meta,
+        frontend_patches,
+    )
+
+    trunk = fold_tile_trunk(model, variables)
+    meta = dense_grid_meta(hw, tile_size, interval)
+    if trunk is None or meta is None:
+        return None
+
+    strides = tuple(trunk.strides)
+    trunk_tree = trunk.tree()
+    calib = np.asarray(calib_tiles, np.float32)
+    deep = backend == "gemm"
+    scales = calibrate_trunk(trunk, calib, deep=deep)
+    s0 = float(scales.block_out[0][-1])
+    n_tiles = meta.n_all * meta.n_all
+    span = tile_size // 4
+
+    if deep:
+        from cellsegmentation_tpu.ops.q8_trunk import (
+            TILE_ALIGN,
+            build_q8_backend,
+            q8_backend_forward,
+        )
+
+        qparams, qmetas = build_q8_backend(trunk, scales, span, span)
+        interpret = jax.default_backend() == "cpu"
+        hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
+        tree = (trunk_tree, qparams)
+    else:
+        tree = trunk_tree
+
+    def stem0(conv_tree, u8):
+        x = normalize_images(
+            u8, jnp.zeros((u8.shape[0],), jnp.int32), dtype=jnp.bfloat16
+        )
+        x1 = trunk_forward(conv_tree, strides, x, scales=scales, n_stages=1)
+        return _q8(x1, s0)
+
+    def dense_probs(head_params, tree, images, flip):
+        g = images.shape[0]
+        conv_tree = tree[0] if deep else tree
+        patches = frontend_patches(
+            meta, lambda u8: stem0(conv_tree, u8), images, flip
+        )  # int8 [G*T, span, span, C]
+        m0 = patches.shape[0]
+        if deep:
+            xq = patches.reshape(m0, -1)
+            pad = (-m0) % TILE_ALIGN
+            if pad:
+                xq = jnp.pad(xq, ((0, pad), (0, 0)))
+            feats = q8_backend_forward(
+                tree[1], qmetas, xq, interpret=interpret
+            )
+            x4 = feats.reshape(feats.shape[0], hf, wf, cf)
+        else:
+            x = _dq(patches, s0)
+            for si in range(1, len(conv_tree[2])):
+                stage = conv_tree[2][si]
+                for bi, bw in enumerate(stage):
+                    x = _conv_bottleneck(
+                        x, bw, strides[si] if bi == 0 else 1,
+                        s_h1=scales.h1[si][bi], s_h2=scales.h2[si][bi],
+                    )
+                    x = _sandwich(x, scales.block_out[si][bi])
+            x4 = x
+        logits = _head_logits(head_params, x4)[:m0]
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
+        return probs.reshape(g, n_tiles)
+
+    return dense_probs, tree

@@ -34,9 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_block(dim: int, candidates) -> int:
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB limit
+
+
+def _pick_block(dim: int, candidates, fits=None) -> int:
     for c in candidates:
-        if dim % c == 0:
+        if dim % c == 0 and (fits is None or fits(c)):
             return c
     return dim
 
@@ -106,9 +109,18 @@ def q8_matmul(
     """
     m, k = x.shape
     _, n = w.shape
-    bm = bm or _pick_block(m, (1024, 960, 512, 256, 128, 64, 32))
     bn = bn or _pick_block(n, (512, 256, 128))
     bk = bk or _pick_block(k, (2048, 1024, 512, 384, 256, 128))
+
+    def fits(c):  # double-buffered blocks + int32 accumulator
+        out_b = 4 if out_kind == "int32" else (2 if out_kind == "bf16" else 1)
+        res_b = c * bn if residual is not None else 0
+        return (
+            2 * (c * bk + bk * bn + c * bn * out_b + res_b) + 4 * c * bn
+            <= _VMEM_BUDGET
+        )
+
+    bm = bm or _pick_block(m, (1024, 960, 512, 256, 128, 64, 32), fits)
     grid = (m // bm, n // bn, k // bk)
     out_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "int32": jnp.int32}[
         out_kind
@@ -147,6 +159,130 @@ def q8_matmul(
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k + k * n + m * n,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Batched (per-pixel-group) GEMM in whole-tile layout
+# ---------------------------------------------------------------------------
+
+
+def _bmm_kernel(*refs, out_spec, has_res):
+    """One (bm, N') block of one pixel group; single dot, full epilogue."""
+    if has_res:
+        x_ref, w_ref, b_ref, ws_ref, r_ref, o_ref = refs
+    else:
+        x_ref, w_ref, b_ref, ws_ref, o_ref = refs
+        r_ref = None
+    kind, in_scale, res_scale, out_scale, relu = out_spec
+    acc = jax.lax.dot_general(
+        x_ref[:], w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * (in_scale * ws_ref[:])
+    y = y + b_ref[:]
+    if r_ref is not None:
+        y = y + r_ref[:].astype(jnp.float32) * res_scale
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    if kind == "int8":
+        o_ref[:] = jnp.clip(
+            jnp.round(y * (1.0 / out_scale)), -127, 127
+        ).astype(jnp.int8)
+    else:
+        o_ref[:] = y.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("px", "c_in", "px_map", "out_kind", "in_scale",
+                     "res_scale", "out_scale", "relu", "bm", "interpret"),
+)
+def q8_matmul_px(
+    x: jnp.ndarray,  # [M, px_x * c_in] int8, whole-tile layout
+    w: jnp.ndarray,  # [c_in, N'] int8, shared across pixel groups
+    bias: jnp.ndarray,  # [N'] f32
+    w_scale: jnp.ndarray,  # [N'] f32
+    residual: jnp.ndarray | None = None,  # [M, px * N'] int8
+    px: int = 1,  # number of OUTPUT pixel groups
+    c_in: int = 0,
+    px_map: tuple | None = None,  # (stride, w_in, w_out): strided projection
+    out_kind: str = "int8",
+    in_scale: float = 1.0,
+    res_scale: float = 1.0,
+    out_scale: float = 1.0,
+    relu: bool = True,
+    bm: int = 0,
+    interpret: bool = False,
+):
+    """Per-pixel 1x1 conv as a batched GEMM over the whole-tile layout.
+
+    Every activation stays [M, px*C] row-major — the px axis is a grid
+    dimension whose index maps pick column blocks, so NO reshape or
+    relayout ever materializes (TPU tiled layouts make [M*px, C] <->
+    [M, px*C] reshapes real copies; this kernel exists to avoid them).
+    ``px_map=(stride, w_in, w_out)`` implements strided projections (b1
+    downsample): output group p=(ho,wo) reads input group
+    stride*(p // w_out)*w_in + stride*(p % w_out) — pure index
+    arithmetic, Mosaic-safe.
+    """
+    m = x.shape[0]
+    c_in = c_in or x.shape[1] // px
+    n_out = w.shape[1]
+
+    def fits(c):  # double-buffered in/out/res blocks (int8) + f32 epilogue
+        out_b = 2 if out_kind == "bf16" else 1
+        res_b = c * n_out if residual is not None else 0
+        return (
+            2 * (c * c_in + c_in * n_out + c * n_out * out_b + res_b)
+            + 4 * c * n_out
+            <= _VMEM_BUDGET
+        )
+
+    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+    has_res = residual is not None
+    kernel = functools.partial(
+        _bmm_kernel,
+        out_spec=(out_kind, in_scale, res_scale, out_scale, relu),
+        has_res=has_res,
+    )
+    if px_map is None:
+        x_col = lambda i, p: (i, p)
+    else:
+        stride, w_in, w_out = px_map
+        x_col = lambda i, p: (i, stride * (p // w_out) * w_in
+                              + stride * (p % w_out))
+    in_specs = [
+        pl.BlockSpec((bm, c_in), x_col, memory_space=pltpu.VMEM),
+        pl.BlockSpec((c_in, n_out), lambda i, p: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_out), lambda i, p: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_out), lambda i, p: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, bias.reshape(1, n_out), w_scale.reshape(1, n_out)]
+    if has_res:
+        in_specs.append(
+            pl.BlockSpec((bm, n_out), lambda i, p: (i, p),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(residual)
+    out_dtype = jnp.int8 if out_kind == "int8" else jnp.bfloat16
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, px),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, n_out), lambda i, p: (i, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, px * n_out), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * px * c_in * n_out,
+            bytes_accessed=m * px * (c_in + n_out) + c_in * n_out,
             transcendentals=0,
         ),
         interpret=interpret,

@@ -1,0 +1,211 @@
+"""Stage-2 serving trunk layers 2-4 as per-conv Pallas int8 GEMMs.
+
+The 32x32-tile geometry leaves layers 2-4 operating on tiny spatial maps
+(8/4/2/1 px a side) where a 3x3 conv's im2col either inflates traffic 9x
+or pads most taps with zeros. The TPU-native formulation used here is the
+**whole-tile GEMM**: for a conv on an [h, w, C] tile map, build the dense
+matrix W'[(hi,wi,ci), (ho,wo,co)] = K[dy,dx,ci,co] (dy = ho*s + .. - hi
+etc., zeros elsewhere) so the whole conv — every output pixel, every tap,
+zero padding included — is ONE [N, h*w*C] x [h*w*C, h'*w'*C'] int8 GEMM.
+This matches the per-tile zero-padded conv *exactly* (modulo int8
+rounding), needs no im2col materialization, and runs at 318-375 TOPS
+measured (tools/microbench_int8.py) because K is large and dense.
+
+1x1 convs are plain [N*px, C] GEMMs; b1 projections subsample with an XLA
+strided slice then GEMM. Residual adds ride the c3 GEMM epilogue
+(ops/q8_gemm.py), so every inter-op tensor crosses HBM as int8; only the
+final block's output leaves as bf16 for the pooling head.
+
+Reference behavior spec: the frozen-encoder tile forward of
+model/resnet.py:236-303 (geometry comments) driven by inference.py:9-28;
+valid while the encoder stays frozen, i.e. the whole stage-2 cycle
+(model/resnet.py:315-319).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cellsegmentation_tpu.ops.q8_gemm import q8_matmul, q8_matmul_px
+
+# Pad the tile-batch dimension so every GEMM M (= tiles * px) hits an
+# aligned block size (960 divides 43200 and keeps M a multiple of 32*px).
+TILE_ALIGN = 960
+
+
+def _per_channel_scale(k: np.ndarray) -> np.ndarray:
+    """absmax scale per output channel (last axis) of a folded kernel."""
+    s = np.abs(k).reshape(-1, k.shape[-1]).max(axis=0) / 127.0
+    return np.where(s > 0, s, 1.0).astype(np.float32)
+
+
+def _quant_w(k: np.ndarray, scale: np.ndarray) -> np.ndarray:
+    return np.clip(np.round(k / scale), -127, 127).astype(np.int8)
+
+
+def _wholetile_weight(k2: np.ndarray, h: int, w: int, stride: int):
+    """[3,3,C,C'] folded conv kernel -> dense whole-tile GEMM weight.
+
+    Returns (W' [h*w*C, h'*w'*C'] f32, h', w'). Entry layout matches the
+    row-major [N, h, w, C] <-> [N, h*w*C] reshape on both sides, so the
+    GEMM is exactly conv_general_dilated(pad=1, stride) on the tile.
+    """
+    kh, kw, c_in, c_out = k2.shape
+    ho = (h + 2 - kh) // stride + 1
+    wo = (w + 2 - kw) // stride + 1
+    big = np.zeros((h * w * c_in, ho * wo * c_out), dtype=np.float32)
+    for oy in range(ho):
+        for ox in range(wo):
+            for dy in range(kh):
+                for dx in range(kw):
+                    hi = stride * oy + dy - 1
+                    wi = stride * ox + dx - 1
+                    if 0 <= hi < h and 0 <= wi < w:
+                        r = (hi * w + wi) * c_in
+                        c = (oy * wo + ox) * c_out
+                        big[r : r + c_in, c : c + c_out] = k2[dy, dx]
+    return big, ho, wo
+
+
+@dataclasses.dataclass(frozen=True)
+class QBlockMeta:
+    """Static per-block config (baked into the jitted program)."""
+
+    h_in: int
+    w_in: int
+    h_out: int
+    w_out: int
+    c_in: int
+    c_mid: int
+    c_out: int
+    stride: int
+    s_in: float
+    s_h1: float
+    s_h2: float
+    s_res: float  # residual scale: s_in (identity) or the proj-out scale
+    s_out: Optional[float]  # None -> final block, bf16 out
+    has_proj: bool
+
+
+def build_q8_backend(folded, scales, h_in: int, w_in: int):
+    """(FoldedTrunk, deep TrunkScales, stage-1 input spatial) ->
+    (params pytree, [QBlockMeta]) for layers 2-4.
+
+    ``scales`` must be calibrated with deep=True (h1/h2 at every stage +
+    proj + block_out); ``h_in`` x ``w_in`` is the layer1-output patch size
+    (8x8 for 32-tiles, 4x4 for 16-tiles).
+    """
+    params: List[dict] = []
+    metas: List[QBlockMeta] = []
+    h, w = h_in, w_in
+    n_stages = len(folded.stages)
+    for si in range(1, n_stages):
+        stride = folded.strides[si]
+        for bi, ws in enumerate(folded.stages[si]):
+            blk_stride = stride if bi == 0 else 1
+            w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
+            has_proj = len(ws) == 8
+            c_in = w1.shape[2]
+            c_mid = w1.shape[3]
+            c_out = w3.shape[3]
+
+            s1 = _per_channel_scale(w1[0, 0])
+            big2, ho, wo = _wholetile_weight(w2, h, w, blk_stride)
+            s2c = _per_channel_scale(w2)  # per co
+            s2 = np.tile(s2c, ho * wo)
+            b2t = np.tile(b2, ho * wo)
+            s3 = _per_channel_scale(w3[0, 0])
+
+            p = {
+                "w1": jnp.asarray(_quant_w(w1[0, 0], s1)),
+                "b1": jnp.asarray(b1),
+                "s1": jnp.asarray(s1),
+                "w2": jnp.asarray(_quant_w(big2, s2)),
+                "b2": jnp.asarray(b2t),
+                "s2": jnp.asarray(s2),
+                "w3": jnp.asarray(_quant_w(w3[0, 0], s3)),
+                "b3": jnp.asarray(b3),
+                "s3": jnp.asarray(s3),
+            }
+            if has_proj:
+                wd, bd = np.asarray(ws[6], np.float32), np.asarray(ws[7], np.float32)
+                sp = _per_channel_scale(wd[0, 0])
+                p.update(
+                    wp=jnp.asarray(_quant_w(wd[0, 0], sp)),
+                    bp=jnp.asarray(bd),
+                    sp=jnp.asarray(sp),
+                )
+
+            is_final = si == n_stages - 1 and bi == len(folded.stages[si]) - 1
+            s_in = float(
+                scales.block_out[si - 1][-1] if bi == 0
+                else scales.block_out[si][bi - 1]
+            )
+            s_res = float(scales.proj[si][bi]) if has_proj else s_in
+            metas.append(
+                QBlockMeta(
+                    h_in=h, w_in=w, h_out=ho, w_out=wo,
+                    c_in=c_in, c_mid=c_mid, c_out=c_out, stride=blk_stride,
+                    s_in=s_in,
+                    s_h1=float(scales.h1[si][bi]),
+                    s_h2=float(scales.h2[si][bi]),
+                    s_res=s_res,
+                    s_out=None if is_final else float(scales.block_out[si][bi]),
+                    has_proj=has_proj,
+                )
+            )
+            params.append(p)
+            h, w = ho, wo
+    return params, metas
+
+
+def q8_backend_forward(params, metas, xq, interpret: bool = False):
+    """int8 layer1-output patches [N, px*C] in WHOLE-TILE layout (quantized
+    with the stage-0 block_out scale, col = (h*w_in + w)*C + c) -> bf16
+    final features [N, pxf*Cf].
+
+    Every activation stays [N, px*C] row-major end to end: 1x1 convs are
+    batched GEMMs over the px grid axis (q8_matmul_px), 3x3s are whole-tile
+    GEMMs, the b1 projection subsamples via a static column index map — so
+    no reshape or relayout ever materializes between kernels (TPU tiled
+    layouts make [N*px, C] <-> [N, px*C] reshapes real 1-2 ms copies, which
+    dominated the first integration's profile).
+
+    N must be a multiple of TILE_ALIGN (pad with garbage tiles and mask
+    downstream; every op here is per-tile independent).
+    """
+    for p, m in zip(params, metas):
+        px_in = m.h_in * m.w_in
+        px_out = m.h_out * m.w_out
+        h1 = q8_matmul_px(
+            xq, p["w1"], p["b1"], p["s1"], px=px_in, c_in=m.c_in,
+            in_scale=m.s_in, out_scale=m.s_h1, interpret=interpret,
+        )
+        h2 = q8_matmul(
+            h1, p["w2"], p["b2"], p["s2"],
+            out_kind="int8", in_scale=m.s_h1, out_scale=m.s_h2,
+            interpret=interpret,
+        )
+        if m.has_proj:
+            res = q8_matmul_px(
+                xq, p["wp"], p["bp"], p["sp"], px=px_out, c_in=m.c_in,
+                px_map=(m.stride, m.w_in, m.w_out),
+                in_scale=m.s_in, out_scale=m.s_res, relu=False,
+                interpret=interpret,
+            )
+        else:
+            res = xq
+        xq = q8_matmul_px(
+            h2, p["w3"], p["b3"], p["s3"], residual=res, px=px_out,
+            c_in=m.c_mid, res_scale=m.s_res,
+            out_kind="bf16" if m.s_out is None else "int8",
+            in_scale=m.s_h2,
+            out_scale=1.0 if m.s_out is None else m.s_out,
+            interpret=interpret,
+        )
+    return xq

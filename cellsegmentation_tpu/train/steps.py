@@ -162,14 +162,37 @@ def make_tile_infer_step(
 
     coords = np.asarray(coords)
 
-    if engine in ("q8", "auto") and variables is not None and calib_images is not None:
+    if engine in ("q8d", "q8dg") and variables is not None and calib_images is not None:
+        built = _build_dense_engine(
+            model, variables, tile_size, coords, calib_images,
+            backend="gemm" if engine == "q8dg" else "conv",
+        )
+        if built is not None:
+            dense_probs_fn, tree = built
+
+            @jax.jit
+            def infer_dense(head_params, tree, images, flip):
+                return dense_probs_fn(head_params, tree, images, flip)
+
+            def infer_with_dense(variables_in, images, flip):
+                return infer_dense(
+                    variables_in["params"]["fc_tile"], tree, images, flip
+                )
+
+            return infer_with_dense
+        engine = {"q8d": "q8", "q8dg": "q8g"}[engine]  # fallback
+
+    if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:
         from cellsegmentation_tpu.ops.infer_engine import (
             calib_tiles_from_images,
             make_fast_tile_logits,
         )
 
         calib = calib_tiles_from_images(calib_images, coords, tile_size)
-        built = make_fast_tile_logits(model, variables, calib_tiles=calib)
+        built = make_fast_tile_logits(
+            model, variables, calib_tiles=calib,
+            backend="gemm" if engine == "q8g" else "conv",
+        )
         if built is not None:
             fast_logits, trunk_tree = built
 
@@ -198,6 +221,36 @@ def make_tile_infer_step(
         return _tile_infer_body(model, tile_size, variables, images, flip, coords)
 
     return infer
+
+
+def _build_dense_engine(model, variables, tile_size, coords, calib_images,
+                        backend: str):
+    """Shared-stem dense sweep builder; None when grid/arch unsupported.
+
+    Image size is taken from the calibration images (full frames); the
+    coordinate table must be the canonical product grid of ``tile_grid``.
+    """
+    import numpy as np
+
+    from cellsegmentation_tpu.ops.infer_engine import (
+        calib_tiles_from_images,
+        make_dense_tile_probs,
+    )
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+
+    calib_images = np.asarray(calib_images)
+    hw = calib_images.shape[1]
+    coords = np.asarray(coords)
+    xs = np.unique(coords[:, 0])
+    if len(xs) < 2:
+        return None
+    interval = int(xs[1] - xs[0])
+    if not np.array_equal(coords, tile_grid(hw, hw, tile_size, interval)):
+        return None
+    calib = calib_tiles_from_images(calib_images, coords, tile_size)
+    return make_dense_tile_probs(
+        model, variables, tile_size, interval, hw, calib, backend=backend
+    )
 
 
 def make_stack_tile_infer_step(
@@ -230,15 +283,42 @@ def make_stack_tile_infer_step(
 
         dp_spec = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
 
+    if engine in ("q8d", "q8dg") and variables is not None and calib_images is not None:
+        built = _build_dense_engine(
+            model, variables, tile_size, coords, calib_images,
+            backend="gemm" if engine == "q8dg" else "conv",
+        )
+        if built is not None:
+            dense_probs_fn, tree = built
+
+            @jax.jit
+            def infer_dense_stack(head_params, tree, images_stack, idx, flip):
+                imgs = jnp.take(images_stack, idx, axis=0)
+                if dp_spec is not None:
+                    imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
+                return dense_probs_fn(head_params, tree, imgs, flip)
+
+            def infer_with_dense(variables_in, images_stack, idx, flip):
+                return infer_dense_stack(
+                    variables_in["params"]["fc_tile"], tree,
+                    images_stack, idx, flip,
+                )
+
+            return infer_with_dense
+        engine = {"q8d": "q8", "q8dg": "q8g"}[engine]  # fallback
+
     fast = None
-    if engine in ("q8", "auto") and variables is not None and calib_images is not None:
+    if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:
         from cellsegmentation_tpu.ops.infer_engine import (
             calib_tiles_from_images,
             make_fast_tile_logits,
         )
 
         calib = calib_tiles_from_images(calib_images, coords, tile_size)
-        fast = make_fast_tile_logits(model, variables, calib_tiles=calib)
+        fast = make_fast_tile_logits(
+            model, variables, calib_tiles=calib,
+            backend="gemm" if engine == "q8g" else "conv",
+        )
 
     if fast is not None:
         fast_logits, trunk_tree = fast

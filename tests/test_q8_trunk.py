@@ -1,0 +1,151 @@
+"""Tests for the int8 GEMM serving trunk (ops/q8_gemm.py, ops/q8_trunk.py).
+
+Runs on CPU with Pallas interpret mode (tests/conftest.py forces the cpu
+backend); the whole-tile weight construction is checked EXACTLY against
+lax.conv in f32, the batched px-GEMM against an integer numpy oracle, and
+the full backend against the flax tile forward at ranking level (the
+engine's contract is stage-2 selection fidelity, reference:
+inference.py:31-43).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cellsegmentation_tpu.ops import q8_trunk as qt
+from cellsegmentation_tpu.ops.q8_gemm import q8_matmul, q8_matmul_px
+
+
+@pytest.mark.parametrize("stride,h", [(1, 4), (2, 4), (2, 8), (2, 2), (2, 1)])
+def test_wholetile_weight_matches_conv(stride, h):
+    rng = np.random.default_rng(0)
+    c_in, c_out = 8, 16
+    k2 = rng.normal(size=(3, 3, c_in, c_out)).astype(np.float32)
+    x = rng.normal(size=(5, h, h, c_in)).astype(np.float32)
+
+    big, ho, wo = qt._wholetile_weight(k2, h, h, stride)
+    y_gemm = (x.reshape(5, -1) @ big).reshape(5, ho, wo, c_out)
+
+    y_conv = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k2), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(y_gemm, np.asarray(y_conv), rtol=1e-4, atol=1e-4)
+
+
+def _np_epilogue(acc, in_scale, w_scale, bias, res=None, res_scale=1.0,
+                 relu=True, out_scale=0.1):
+    y = acc.astype(np.float32) * (in_scale * w_scale) + bias
+    if res is not None:
+        y = y + res.astype(np.float32) * res_scale
+    if relu:
+        y = np.maximum(y, 0.0)
+    return np.clip(np.round(y / out_scale), -127, 127).astype(np.int8)
+
+
+def test_q8_matmul_matches_oracle():
+    rng = np.random.default_rng(1)
+    m, k, n = 64, 256, 128
+    x = rng.integers(-127, 127, (m, k), dtype=np.int8)
+    w = rng.integers(-127, 127, (k, n), dtype=np.int8)
+    b = rng.normal(size=(n,)).astype(np.float32)
+    ws = rng.uniform(0.01, 0.03, size=(n,)).astype(np.float32)
+    res = rng.integers(-127, 127, (m, n), dtype=np.int8)
+
+    got = q8_matmul(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), jnp.asarray(ws),
+        residual=jnp.asarray(res), out_kind="int8", in_scale=0.05,
+        res_scale=0.04, out_scale=0.1, interpret=True,
+    )
+    want = _np_epilogue(
+        x.astype(np.int32) @ w.astype(np.int32), 0.05, ws, b, res, 0.04,
+    )
+    assert np.abs(np.asarray(got).astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_q8_matmul_px_identity_and_strided():
+    rng = np.random.default_rng(2)
+    m, c, n_out = 64, 128, 128
+    h = w = 4
+    px = h * w
+    x = rng.integers(-127, 127, (m, px * c), dtype=np.int8)
+    wgt = rng.integers(-127, 127, (c, n_out), dtype=np.int8)
+    b = rng.normal(size=(n_out,)).astype(np.float32)
+    ws = rng.uniform(0.01, 0.03, size=(n_out,)).astype(np.float32)
+
+    got = np.asarray(q8_matmul_px(
+        jnp.asarray(x), jnp.asarray(wgt), jnp.asarray(b), jnp.asarray(ws),
+        px=px, c_in=c, in_scale=0.05, out_scale=0.1, interpret=True,
+    ))
+    for p in range(px):
+        want = _np_epilogue(
+            x[:, p * c : (p + 1) * c].astype(np.int32) @ wgt.astype(np.int32),
+            0.05, ws, b,
+        )
+        diff = np.abs(
+            got[:, p * n_out : (p + 1) * n_out].astype(np.int32)
+            - want.astype(np.int32)
+        )
+        assert diff.max() <= 1
+
+    # strided projection map: out 2x2 reads input pixels (0,2),(0,2)
+    ho = wo = 2
+    got_s = np.asarray(q8_matmul_px(
+        jnp.asarray(x), jnp.asarray(wgt), jnp.asarray(b), jnp.asarray(ws),
+        px=ho * wo, c_in=c, px_map=(2, w, wo), in_scale=0.05, out_scale=0.1,
+        relu=False, interpret=True,
+    ))
+    for p_out in range(ho * wo):
+        p_in = 2 * (p_out // wo) * w + 2 * (p_out % wo)
+        want = _np_epilogue(
+            x[:, p_in * c : (p_in + 1) * c].astype(np.int32)
+            @ wgt.astype(np.int32),
+            0.05, ws, b, relu=False,
+        )
+        diff = np.abs(
+            got_s[:, p_out * n_out : (p_out + 1) * n_out].astype(np.int32)
+            - want.astype(np.int32)
+        )
+        assert diff.max() <= 1
+
+
+def test_gemm_backend_ranking_matches_flax(monkeypatch):
+    """Full-engine check: q8g probs track the flax tile forward's ranking on
+    structured images through a random-init resnet50."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(qt, "TILE_ALIGN", 32)  # keep interpret-mode cost sane
+
+    tile, interval, hw, g = 32, 20, 150, 2
+    model = build_model("resnet50")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    rng = np.random.default_rng(3)
+    xx, yy = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    imgs = np.stack([
+        (127 + 120 * np.sin(xx / 23.0 + i) * np.cos(yy / 17.0 - i)
+         + rng.normal(0, 20, (hw, hw))).clip(0, 255)
+        for i in range(g)
+    ]).astype(np.uint8)[..., None].repeat(3, axis=-1)
+    flip = jnp.zeros((g,), jnp.int32)
+
+    ref_fn = steps_mod.make_tile_infer_step(model, tile, coords)
+    p_ref = np.asarray(ref_fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    fn = steps_mod.make_tile_infer_step(
+        model, tile, coords, variables=variables, engine="q8g",
+        calib_images=imgs,
+    )
+    p = np.asarray(fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    from scipy.stats import spearmanr
+
+    rank_corr = spearmanr(p_ref, p).statistic
+    assert rank_corr > 0.9
+    assert np.abs(p - p_ref).max() < 0.05

@@ -36,10 +36,10 @@ def capture(out_dir: str) -> None:
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.integers(0, 255, size=(192, 299, 299, 3), dtype=np.uint8))
     flip = jnp.zeros((192,), jnp.int32)
-    engine = os.environ.get("CST_PROFILE_ENGINE", "q8")  # q8|flax
+    engine = os.environ.get("CST_PROFILE_ENGINE", "q8")  # q8|q8g|q8d|q8dg|flax
     kwargs = (
         dict(variables=variables, engine=engine, calib_images=np.asarray(b[:4]))
-        if engine in ("q8", "auto")
+        if engine in ("q8", "q8g", "q8d", "q8dg", "auto")
         else {}
     )
     infer = steps_mod.make_tile_infer_step(model, 32, coords, **kwargs)
