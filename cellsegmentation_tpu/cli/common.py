@@ -12,6 +12,13 @@ import jax
 if os.environ.get("CST_PLATFORM"):
     jax.config.update("jax_platforms", os.environ["CST_PLATFORM"])
 
+# Multi-host bootstrap (env-gated, must precede any backend touch): on a
+# multi-host pod slice every stage CLI becomes one controller of the SPMD
+# job, replacing the reference's dead NCCL path (train_image.py:444-455).
+from cellsegmentation_tpu.parallel.multihost import maybe_initialize
+
+maybe_initialize()
+
 # Persistent compilation cache: repeat CLI invocations (the 3-stage pipeline
 # is 3+ processes) replay XLA compiles from disk instead of re-paying them.
 jax.config.update(

@@ -14,6 +14,7 @@ import numpy as np
 
 from cellsegmentation_tpu.data.batches import BatchIterator
 from cellsegmentation_tpu.data.lysto import LystoDataSource
+from cellsegmentation_tpu.parallel import multihost
 from cellsegmentation_tpu.ops.categorize import categorize_np, de_categorize_np
 from cellsegmentation_tpu.ops.tiles import tile_grid
 from cellsegmentation_tpu.ops.topk import adaptive_topk_mask
@@ -51,8 +52,10 @@ def inference_image(
 
     categories = np.zeros(n, dtype=np.int64)
     counts = np.zeros(n, dtype=np.int64)
-    it = BatchIterator(n, batch_size, shuffle=False)
-    for sel, valid in it:
+    batches = list(BatchIterator(n, batch_size, shuffle=False))
+    idx_chunks, cat_chunks, cnt_chunks = [], [], []
+    for b in multihost.my_batches(len(batches)):
+        sel, valid = batches[b]
         images = source.images[base_idx[sel]]
         probs, regs = infer_step(
             variables, jnp.asarray(images), jnp.asarray(flip[sel])
@@ -60,8 +63,16 @@ def inference_image(
         probs = np.asarray(probs)
         regs = np.asarray(regs)
         keep = sel[valid]
-        categories[keep] = probs.argmax(axis=1)[valid]
-        counts[keep] = np.round(regs[valid]).astype(np.int64)
+        cat = probs.argmax(axis=1)[valid]
+        cnt = np.round(regs[valid]).astype(np.int64)
+        categories[keep] = cat
+        counts[keep] = cnt
+        idx_chunks.append(keep)
+        cat_chunks.append(cat)
+        cnt_chunks.append(cnt)
+    multihost.merge_process_rows(
+        [categories, counts], idx_chunks, [cat_chunks, cnt_chunks]
+    )
 
     if cls_limit:
         counts = apply_cls_limit(counts, categories)
@@ -96,10 +107,20 @@ def inference_tiles(
 
     out = np.zeros((n, n_t), dtype=np.float32)
     it = BatchIterator(n, image_batch, shuffle=False)
-    for sel, valid in it:
+    batches = list(it)
+    # disjoint sweep coverage at multi-host: each process computes a
+    # round-robin subset of batches and the row fills are merged after
+    # (replaces every host redoing the full sweep)
+    idx_chunks, val_chunks = [], []
+    for b in multihost.my_batches(len(batches)):
+        sel, valid = batches[b]
         images = source.images[base_idx[sel]]
         probs = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
-        out[sel[valid]] = np.asarray(probs)[valid]
+        vals = np.asarray(probs)[valid]
+        out[sel[valid]] = vals
+        idx_chunks.append(sel[valid])
+        val_chunks.append(vals)
+    multihost.merge_process_rows([out], idx_chunks, [val_chunks])
     return out
 
 
