@@ -41,6 +41,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-i", "--interval", type=int, default=5)
     parser.add_argument("-c", "--threshold", type=float, default=0.95)
     parser.add_argument("--reg_limit", action="store_true")
+    parser.add_argument("--infer_engine",
+                        choices=("auto", "q8", "q8g", "q8d", "q8dg", "flax"),
+                        default="flax",
+                        help="dense-sweep engine; eval defaults to the exact "
+                             "flax path so reported tile metrics carry no "
+                             "quantization error (serving engines opt-in)")
     parser.add_argument("-o", "--output", type=str, default="./output")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--data_path", type=str, default=None)
@@ -64,10 +70,17 @@ def main(argv=None) -> None:
         partitions=(ENCODER_KEY, TILE_KEY, IMAGE_CLS_KEY, IMAGE_REG_KEY),
     )
     h0, w0 = source.image_hw
+    engine_kwargs = {}
+    if args.infer_engine != "flax":
+        from cellsegmentation_tpu.ops.infer_engine import pick_calib_images
+
+        engine_kwargs = dict(
+            variables=variables, engine=args.infer_engine,
+            calib_images=pick_calib_images(source.images),
+        )
     tile_infer = steps_mod.make_tile_infer_step(
         model, args.tile_size, tile_grid(h0, w0, args.tile_size, args.interval),
-        variables=variables, engine="auto",
-        calib_images=source.images[: min(4, len(source.images))],
+        **engine_kwargs,
     )
     probs = inference_tiles(
         source, tile_infer, variables, args.tile_size, args.interval,

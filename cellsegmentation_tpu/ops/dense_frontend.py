@@ -5,21 +5,28 @@ The 32/20 sliding grid covers 225·32² = 230k px of each 89.4k-px image —
 (reference formulation: inference.py:9-28 forwards tiles as independent
 crops). Because the stem's total stride (conv1 s2 + maxpool s2 = 4)
 divides the 20-px interval, the stem and layer1 can run ONCE per image
-densely, with each tile's 8×8 layer1-output patch *gathered* from the
+densely, with each tile's 8×8 layer1-output patch *sliced* from the
 dense /4-resolution feature map.
 
 Geometry (hw=299, ts=32, interval=20):
-- interior tiles (14×14 per axis) sit at coords ≡ 0 (mod 4): gather
-  their patches from a dense stem over the image cropped to 296²;
+- interior tiles (14×14 per axis) sit at coords ≡ 0 (mod 4): their patches
+  are STATIC slices of a dense stem over the image cropped to 292²
+  (the interior grid's exact span, interval·(n_reg−1)+ts);
 - the border-completion row/col (coord 267 ≡ 3 mod 4) comes from thin
   STRIPS (rows 263..298) whose stem phase matches the border tile, plus a
   36×36 corner patch — ~26% of one dense stem instead of a second full
   phase;
 - per-tile flip augmentation (reference: dataset/dataset.py:210-211 flips
-  the sliced tile) is equivalent to gathering mirrored coordinates from
-  the whole-image flip; mirrored interior coords are ≡ 3 (mod 4), handled
-  by shifting the dense-stem crop by bx%4 per flipped axis — pure index
-  arithmetic inside the jit, no extra stem passes.
+  the sliced tile) is handled by flipping the whole image (cheap reversal
+  selects on raw bytes) and cropping at ``crop0 = bx − interval·(n_reg−1)``
+  instead of 0, which lands the mirrored interior coords on the SAME
+  static /4 feature starts as the unflipped grid, in reversed tile order.
+  Every data-dependent choice is therefore a 2-way ``where`` of two static
+  slices — the hot path contains NO gathers (per-sample gathers/dynamic
+  slices on [G,299,299,3] lower to serial loops on TPU; the gather-based
+  first cut of this frontend measured 26 ms/step slower than this one).
+  The reversed tile order is undone on the tiny [G, T] prob matrix
+  (``unpermute_probs``), not on the 700 MB patch tensor.
 
 Numerics: dense features see real neighbor pixels where the per-tile
 forward sees zero padding (tile borders, stem+layer1 receptive fields
@@ -32,9 +39,7 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,8 +50,8 @@ class DenseGridMeta:
     n_reg: int  # interior tiles per axis
     n_all: int  # tiles per axis incl. the border-completion one
     bx: int  # border tile coordinate (hw - tile_size)
-    shift: int  # bx % 4: crop shift for flipped axes
-    base: int  # dense-stem crop size (hw - shift)
+    crop0: int  # dense-stem crop start for flipped axes (0 unflipped)
+    cropw: int  # dense-stem crop size: interval*(n_reg-1) + tile_size
 
 
 def dense_grid_meta(hw: int, tile_size: int, interval: int):
@@ -62,7 +67,8 @@ def dense_grid_meta(hw: int, tile_size: int, interval: int):
     return DenseGridMeta(
         hw=hw, tile_size=tile_size, interval=interval,
         n_reg=len(starts), n_all=len(starts) + 1,
-        bx=bx, shift=bx % 4, base=hw - (bx % 4),
+        bx=bx, crop0=bx - interval * (len(starts) - 1),
+        cropw=interval * (len(starts) - 1) + tile_size,
     )
 
 
@@ -74,85 +80,100 @@ def apply_flips(images_u8: jnp.ndarray, flip_codes: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(do_v, x[:, ::-1, :, :], x)
 
 
-def _crop(images: jnp.ndarray, x0, y0, h: int, w: int) -> jnp.ndarray:
-    """Per-sample dynamic crop: [G,H,W,3] + per-sample starts -> [G,h,w,3]."""
-    def one(img, a, b):
-        return jax.lax.dynamic_slice(img, (a, b, 0), (h, w, img.shape[-1]))
-
-    return jax.vmap(one)(images, x0, y0)
-
-
-def _interior_axis_idx(meta: DenseGridMeta, flipped) -> jnp.ndarray:
-    """Per-sample /4-feature start index of each interior tile [G, n_reg]."""
-    i = jnp.arange(meta.n_reg)[None, :]
-    step = meta.interval // 4
-    fwd = step * i
-    rev = (meta.bx - meta.shift) // 4 - step * i
-    return jnp.where(flipped[:, None], rev, fwd).astype(jnp.int32)
-
-
-def _expand_rows(starts: jnp.ndarray, span: int) -> jnp.ndarray:
-    """[G, n] starts -> [G, n*span] of starts[i] + 0..span-1."""
-    g, n = starts.shape
-    return (
-        starts[:, :, None] + jnp.arange(span, dtype=jnp.int32)[None, None, :]
-    ).reshape(g, n * span)
-
-
-def gather_patches_2d(feat, rows, cols, n_r, n_c, span):
-    """[G,Hf,Wf,C] + row/col index lists -> [G, n_r, n_c, span, span, C]."""
-    g, _, wf, c = feat.shape
-    x = jnp.take_along_axis(feat, rows[:, :, None, None], axis=1)
-    x = jnp.take_along_axis(x, cols[:, None, :, None], axis=2)
-    x = x.reshape(g, n_r, span, n_c, span, c)
-    return x.transpose(0, 1, 3, 2, 4, 5)
+def _sel(flag, a, b):
+    """Per-sample 2-way select of equal-shape static slices: [G,...]."""
+    return jnp.where(flag[:, None, None, None], a, b)
 
 
 def frontend_patches(meta: DenseGridMeta, stem_fn, images_u8, flip_codes):
-    """The full dense frontend: uint8 images + per-sample flip codes ->
-    int8 layer1-output patches [G, n_all², span, span, C] in tile order.
+    """uint8 images + per-sample flip codes -> layer1-output patches
+    [G*n_all², span, span, C] in CANVAS order (ascending feature starts,
+    border band last per axis). For flipped axes canvas order is the
+    REVERSED interior tile order — map probs back with ``unpermute_probs``.
 
-    ``stem_fn(images_u8_cropped)`` must normalize + run stem/maxpool/layer1
-    + quantize, returning the int8 /4-resolution feature map.
+    ``stem_fn(images_u8_cropped)`` must normalize + run stem/maxpool(/
+    layer1) + quantize, returning the /4-resolution feature map. It is
+    called on four static shapes: the base crop, two border strips, and
+    the corner.
     """
     g = images_u8.shape[0]
     span = meta.tile_size // 4
-    n = meta.n_reg
+    step = meta.interval // 4
+    sw = meta.tile_size + 4  # strip width: border tile + 4-px halo
     fx = (flip_codes == 2) | (flip_codes == 3)  # row-axis flip
     fy = (flip_codes == 1) | (flip_codes == 3)  # col-axis flip
-    imgs = apply_flips(images_u8, flip_codes)
+    xr = apply_flips(images_u8, flip_codes)
 
-    sx = jnp.where(fx, meta.shift, 0).astype(jnp.int32)
-    sy = jnp.where(fy, meta.shift, 0).astype(jnp.int32)
-    strip_x0 = jnp.where(fx, 0, meta.bx - 4).astype(jnp.int32)
-    strip_y0 = jnp.where(fy, 0, meta.bx - 4).astype(jnp.int32)
-    strip_h = meta.tile_size + 4
-    zeros = jnp.zeros((g,), jnp.int32)
+    # crops: flipped axes start at crop0 so mirrored interior coords land
+    # on the same static /4 starts; strips cover the border tile + halo
+    # (at the image edge for flipped axes — the mirrored border sits at 0)
+    def rows_base(x):
+        return _sel(fx, x[:, meta.crop0 : meta.crop0 + meta.cropw],
+                    x[:, : meta.cropw])
 
-    base = _crop(imgs, sx, sy, meta.base, meta.base)
-    xstrip = _crop(imgs, strip_x0, sy, strip_h, meta.base)
-    ystrip = _crop(imgs, sx, strip_y0, meta.base, strip_h)
-    corner = _crop(imgs, strip_x0, strip_y0, strip_h, strip_h)
+    def cols_base(x):
+        return _sel(fy, x[:, :, meta.crop0 : meta.crop0 + meta.cropw],
+                    x[:, :, : meta.cropw])
 
-    f_base = stem_fn(base)  # [G, bf, bf, C]
-    f_xs = stem_fn(xstrip)  # [G, sf, bf, C]
-    f_ys = stem_fn(ystrip)  # [G, bf, sf, C]
-    f_cn = stem_fn(corner)  # [G, sf, sf, C]
+    def rows_strip(x):
+        return _sel(fx, x[:, :sw], x[:, meta.bx - 4 :])
 
-    rx = _expand_rows(_interior_axis_idx(meta, fx), span)  # [G, n*span]
-    ry = _expand_rows(_interior_axis_idx(meta, fy), span)
-    # strip-local feature start of the border tile: 1 when the tile sits at
-    # the strip's 4-px halo (unflipped), 0 at the image edge (flipped)
-    bxs = _expand_rows(jnp.where(fx, 0, 1)[:, None].astype(jnp.int32), span)
-    bys = _expand_rows(jnp.where(fy, 0, 1)[:, None].astype(jnp.int32), span)
+    def cols_strip(x):
+        return _sel(fy, x[:, :, :sw], x[:, :, meta.bx - 4 :])
 
-    interior = gather_patches_2d(f_base, rx, ry, n, n, span)
-    row_b = gather_patches_2d(f_xs, bxs, ry, 1, n, span)  # x = border
-    col_b = gather_patches_2d(f_ys, rx, bys, n, 1, span)  # y = border
-    corner_b = gather_patches_2d(f_cn, bxs, bys, 1, 1, span)
+    f_base = stem_fn(cols_base(rows_base(xr)))  # [G, bf, bf, C]
+    f_xs = stem_fn(cols_base(rows_strip(xr)))  # [G, sf, bf, C]
+    f_ys = stem_fn(cols_strip(rows_base(xr)))  # [G, bf, sf, C]
+    f_cn = stem_fn(cols_strip(rows_strip(xr)))  # [G, sf, sf, C]
 
-    top = jnp.concatenate([interior, col_b], axis=2)  # [G, n, n+1, ...]
-    bot = jnp.concatenate([row_b, corner_b], axis=2)  # [G, 1, n+1, ...]
-    allp = jnp.concatenate([top, bot], axis=1)  # [G, n+1, n+1, s, s, C]
+    # border tile's strip-local feature start: 1 at the 4-px halo
+    # (unflipped), 0 at the image edge (flipped)
+    def band_rows(fs):
+        return _sel(fx, fs[:, :span], fs[:, 1 : span + 1])
+
+    def band_cols(fs):
+        return _sel(fy, fs[:, :, :span], fs[:, :, 1 : span + 1])
+
+    bx_band = band_rows(f_xs)  # [G, span, bf, C]
+    ys_cols = band_cols(f_ys)  # [G, bf, span, C]
+    cn_band = band_cols(band_rows(f_cn))  # [G, span, span, C]
+
+    starts = [i * step for i in range(meta.n_reg)]
+    # row pass: [G, n_all, span, ·, C] — static slices stacked in canvas
+    # order, the border band appended last
+    rb = jnp.concatenate(
+        [f_base[:, None, s : s + span] for s in starts]
+        + [bx_band[:, None]], axis=1
+    )
+    rs = jnp.concatenate(
+        [ys_cols[:, None, s : s + span] for s in starts]
+        + [cn_band[:, None]], axis=1
+    )  # [G, n_all, span, span, C]
+    # col pass -> [G, n_all, n_all, span, span, C]: the layout directly
+    # reshapes to the [G·T, span, span, C] conv input, no transpose
+    allp = jnp.concatenate(
+        [rb[:, :, None, :, s : s + span] for s in starts]
+        + [rs[:, :, None]], axis=2
+    )
     c = allp.shape[-1]
     return allp.reshape(g * meta.n_all * meta.n_all, span, span, c)
+
+
+def unpermute_probs(meta: DenseGridMeta, probs, flip_codes):
+    """Canvas-order [G, n_all²] tile probs -> reference tile order.
+
+    A flipped axis emits interior bands in reversed tile order (tile i
+    lives at band n_reg-1-i; the border band is always last). Pure
+    relayout of the tiny prob matrix — the 700 MB patch tensor upstream
+    never needs reordering.
+    """
+    g = probs.shape[0]
+    n, nr = meta.n_all, meta.n_reg
+    fx = (flip_codes == 2) | (flip_codes == 3)
+    fy = (flip_codes == 1) | (flip_codes == 3)
+    p = probs.reshape(g, n, n)
+    rev = jnp.concatenate([p[:, nr - 1 :: -1], p[:, nr:]], axis=1)
+    p = jnp.where(fx[:, None, None], rev, p)
+    rev = jnp.concatenate([p[:, :, nr - 1 :: -1], p[:, :, nr:]], axis=2)
+    p = jnp.where(fy[:, None, None], rev, p)
+    return p.reshape(g, n * n)

@@ -64,25 +64,32 @@ def _fold_cba(params: dict, stats: dict):
 
 @dataclasses.dataclass
 class FoldedTrunk:
-    """Folded weights, grouped per stage: [(block0 weights), (block1), ...]."""
+    """Folded weights, grouped per stage: [(block0 weights), (block1), ...].
+
+    ``kind`` is "bottleneck" (1×1/3×3/1×1, reference model/resnet.py:52-90)
+    or "basic" (3×3/3×3, :22-49); grouped 3×3s (ResNeXt) carry ``groups``.
+    """
 
     stem_w: jnp.ndarray
     stem_b: jnp.ndarray
     stages: list  # list of stages; each stage = list of block weight tuples
     strides: list  # per-stage stride of block 0
+    kind: str = "bottleneck"
+    groups: int = 1
 
     def tree(self):
         return (self.stem_w, self.stem_b, self.stages)
 
 
 def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
-    """Fold a ResNet-family MILNet encoder; None if the arch is unsupported
-    (grouped/ResNeXt and EfficientNet fall back to the flax path)."""
+    """Fold a ResNet-family MILNet encoder (Bottleneck incl. grouped
+    ResNeXt, BasicBlock); None for EfficientNet (flax fallback — its MBConv
+    stack has per-block stochastic depth and SE gates that don't fold)."""
     enc = model.encoder
     if not isinstance(enc, ResNetEncoder):
         return None
-    if enc.groups != 1 or enc.block_cls is not Bottleneck:
-        return None  # BasicBlock/grouped support can be added; gate for now
+    kind = "bottleneck" if enc.block_cls is Bottleneck else "basic"
+    n_convs = 3 if kind == "bottleneck" else 2
 
     params = variables["params"]["encoder"]
     stats = variables["batch_stats"]["encoder"]
@@ -101,17 +108,22 @@ def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
             key = f"layer{s + 1}_{b}"
             bp, bs = params[key], stats[key]
             ws = []
-            # ConvBNAct_0/1/2 = 1×1 reduce / 3×3 / 1×1 expand; _3 = projection
-            for ci in range(3):
+            # bottleneck: ConvBNAct_0/1/2 = 1×1 / 3×3 / 1×1, _3 = projection
+            # basic:      ConvBNAct_0/1   = 3×3 / 3×3,       _2 = projection
+            for ci in range(n_convs):
                 w, bias = _fold_cba(bp[f"ConvBNAct_{ci}"], bs[f"ConvBNAct_{ci}"])
                 ws.extend([w, bias])
-            if "ConvBNAct_3" in bp:
-                wd, bd = _fold_cba(bp["ConvBNAct_3"], bs["ConvBNAct_3"])
+            proj_key = f"ConvBNAct_{n_convs}"
+            if proj_key in bp:
+                wd, bd = _fold_cba(bp[proj_key], bs[proj_key])
                 ws.extend([wd, bd])
             stage.append(tuple(ws))
         stages.append(stage)
         strides.append(1 if s == 0 else 2)
-    return FoldedTrunk(stem_w=stem_w, stem_b=stem_b, stages=stages, strides=strides)
+    return FoldedTrunk(
+        stem_w=stem_w, stem_b=stem_b, stages=stages, strides=strides,
+        kind=kind, groups=int(enc.groups),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -145,29 +157,50 @@ def _sandwich(x, scale: Optional[float]):
     return _dq(_q8(x, scale), scale)
 
 
-def _conv_bottleneck(x, ws, stride: int, s_h1=None, s_h2=None):
+def _cv(v, w, s, pad, groups: int = 1):
+    return jax.lax.conv_general_dilated(
+        v, w.astype(jnp.bfloat16), (s, s), pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.bfloat16,
+    )
+
+
+def _conv_bottleneck(x, ws, stride: int, s_h1=None, s_h2=None, groups: int = 1):
     """One folded bottleneck, all ops as lax convs with bf16 outputs (the
     dot_general/GEMM formulation of the 1x1s measured ~2x slower: it breaks
-    XLA's conv layout pipeline). Optional intra-block sandwich scales."""
+    XLA's conv layout pipeline). Optional intra-block sandwich scales; the
+    3×3 is grouped for ResNeXt trunks."""
     has_proj = len(ws) == 8
     w1, b1, w2, b2, w3, b3 = ws[:6]
 
-    def cv(v, w, s, pad):
-        return jax.lax.conv_general_dilated(
-            v, w.astype(jnp.bfloat16), (s, s), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.bfloat16,
-        )
-
-    h = jnp.maximum(cv(x, w1, 1, "VALID") + b1.astype(jnp.bfloat16), 0)
+    h = jnp.maximum(_cv(x, w1, 1, "VALID") + b1.astype(jnp.bfloat16), 0)
     h = _sandwich(h, s_h1)
     h = jnp.maximum(
-        cv(h, w2, stride, ((1, 1), (1, 1))) + b2.astype(jnp.bfloat16), 0
+        _cv(h, w2, stride, ((1, 1), (1, 1)), groups) + b2.astype(jnp.bfloat16),
+        0,
     )
     h = _sandwich(h, s_h2)
-    out = cv(h, w3, 1, "VALID") + b3.astype(jnp.bfloat16)
+    out = _cv(h, w3, 1, "VALID") + b3.astype(jnp.bfloat16)
     if has_proj:
-        res = cv(x, ws[6], stride, "VALID") + ws[7].astype(jnp.bfloat16)
+        res = _cv(x, ws[6], stride, "VALID") + ws[7].astype(jnp.bfloat16)
+    else:
+        res = x
+    return jnp.maximum(out + res, 0)
+
+
+def _conv_basic(x, ws, stride: int, s_h1=None):
+    """One folded BasicBlock: 3×3(s) + 3×3, residual, relu
+    (reference: model/resnet.py:22-49)."""
+    has_proj = len(ws) == 6
+    w1, b1, w2, b2 = ws[:4]
+    h = jnp.maximum(
+        _cv(x, w1, stride, ((1, 1), (1, 1))) + b1.astype(jnp.bfloat16), 0
+    )
+    h = _sandwich(h, s_h1)
+    out = _cv(h, w2, 1, ((1, 1), (1, 1))) + b2.astype(jnp.bfloat16)
+    if has_proj:
+        res = _cv(x, ws[4], stride, "VALID") + ws[5].astype(jnp.bfloat16)
     else:
         res = x
     return jnp.maximum(out + res, 0)
@@ -191,6 +224,7 @@ class TrunkScales:
 def trunk_forward(
     trunk_tree, strides: Sequence[int], x: jnp.ndarray,
     scales: Optional[TrunkScales] = None, n_stages: Optional[int] = None,
+    kind: str = "bottleneck", groups: int = 1,
 ) -> jnp.ndarray:
     """tiles bf16 [N, ts, ts, 3] (normalized) -> x4 feature map.
 
@@ -208,9 +242,15 @@ def trunk_forward(
         for bi, bw in enumerate(stage):
             s_h1 = scales.h1[si][bi] if scales else None
             s_h2 = scales.h2[si][bi] if scales else None
-            x = _conv_bottleneck(
-                x, bw, stride if bi == 0 else 1, s_h1=s_h1, s_h2=s_h2
-            )
+            if kind == "basic":
+                x = _conv_basic(
+                    x, bw, stride if bi == 0 else 1, s_h1=s_h1
+                )
+            else:
+                x = _conv_bottleneck(
+                    x, bw, stride if bi == 0 else 1, s_h1=s_h1, s_h2=s_h2,
+                    groups=groups,
+                )
             s_out = scales.block_out[si][bi] if scales else None
             truncated_last = (
                 n_stages < len(stages)
@@ -231,8 +271,23 @@ def trunk_forward(
 
 
 def _absmax_scale(x) -> float:
-    s = float(np.abs(np.asarray(x, np.float32)).max()) / 127.0
+    # 5% headroom: a small pilot's absmax under-covers outlier images, and
+    # out-of-range activations clip at ±127 and distort the top-k ranking
+    s = 1.05 * float(np.abs(np.asarray(x, np.float32)).max()) / 127.0
     return s if s > 0 else 1.0
+
+
+def pick_calib_images(images, n: int = 4, seed: int = 0) -> np.ndarray:
+    """Seeded random calibration pilot spread across the source — a
+    deterministic prefix under-represents the activation range of outlier
+    images (the scales feed every int8 sandwich of the serving engine)."""
+    images = np.asarray(images)
+    if len(images) <= n:
+        return images
+    idx = np.sort(
+        np.random.default_rng(seed).choice(len(images), size=n, replace=False)
+    )
+    return images[idx]
 
 
 def calib_tiles_from_images(
@@ -286,7 +341,9 @@ def calibrate_trunk(
         bo, b1, b2, pr = [], [], [], []
         for bi, ws in enumerate(stage):
             blk_stride = stride if bi == 0 else 1
-            y, h1, h2, res = _instrumented_block_np(x, ws, blk_stride)
+            y, h1, h2, res = _instrumented_block_np(
+                x, ws, blk_stride, kind=folded.kind, groups=folded.groups
+            )
             intra = deep or si < _INTRA_STAGES
             b1.append(_absmax_scale(h1) if intra else None)
             b2.append(_absmax_scale(h2) if intra else None)
@@ -304,24 +361,47 @@ def calibrate_trunk(
     )
 
 
-def _instrumented_block_np(x, ws, stride):
+def _np_conv3(a, k, stride, groups=1):
+    with jax.default_device(jax.devices("cpu")[0]):
+        return np.asarray(
+            jax.jit(
+                lambda aa, kk: jax.lax.conv_general_dilated(
+                    aa, kk, (stride, stride), ((1, 1), (1, 1)),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    feature_group_count=groups,
+                )
+            )(jnp.asarray(a), jnp.asarray(k))
+        )
+
+
+def _instrumented_block_np(x, ws, stride, kind="bottleneck", groups=1):
     """f32 forward of one folded block on the host, returning
     (y, h1, h2, res) — res is the pre-add residual branch (projection
-    output for b1 blocks, the identity otherwise)."""
-    has_proj = len(ws) == 8
-    w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
+    output for b1 blocks, the identity otherwise). BasicBlocks have no h2
+    activation; h1 is returned in both slots."""
     n, h, w, cin = x.shape
     flat = x.reshape(-1, cin)
+    if kind == "basic":
+        has_proj = len(ws) == 6
+        w1, b1, w2, b2 = [np.asarray(a, np.float32) for a in ws[:4]]
+        h1 = np.maximum(_np_conv3(x, w1, stride) + b1, 0.0)
+        out = _np_conv3(h1, w2, 1) + b2
+        ho, wo = out.shape[1], out.shape[2]
+        if has_proj:
+            wd = np.asarray(ws[4], np.float32)
+            bd = np.asarray(ws[5], np.float32)
+            xs = x[:, ::stride, ::stride, :] if stride > 1 else x
+            res = xs.reshape(-1, cin) @ wd[0, 0] + bd
+        else:
+            res = flat
+        y = np.maximum(out.reshape(-1, out.shape[-1]) + res, 0.0)
+        h1f = h1.reshape(-1, h1.shape[-1])
+        return y.reshape(n, ho, wo, -1), h1f, h1f, res
+
+    has_proj = len(ws) == 8
+    w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
     h1 = np.maximum(flat @ w1[0, 0] + b1, 0.0)
-    with jax.default_device(jax.devices("cpu")[0]):
-        h2 = np.asarray(
-            jax.jit(
-                lambda a, k: jax.lax.conv_general_dilated(
-                    a, k, (stride, stride), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
-            )(jnp.asarray(h1.reshape(n, h, w, -1)), jnp.asarray(w2))
-        )
+    h2 = _np_conv3(h1.reshape(n, h, w, -1), w2, stride, groups)
     h2 = np.maximum(h2 + b2, 0.0)
     ho, wo = h2.shape[1], h2.shape[2]
     out = h2.reshape(-1, h2.shape[-1]) @ w3[0, 0] + b3
@@ -372,6 +452,8 @@ def make_fast_tile_logits(
 
     strides = tuple(trunk.strides)
     trunk_tree = trunk.tree()
+    if trunk.kind != "bottleneck" or trunk.groups != 1:
+        backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
 
     if backend == "gemm" and calib_tiles is not None:
         from cellsegmentation_tpu.ops.q8_trunk import (
@@ -416,7 +498,10 @@ def make_fast_tile_logits(
     )
 
     def fast_logits(head_params, trunk_tree, x):
-        x4 = trunk_forward(trunk_tree, strides, x, scales=scales)
+        x4 = trunk_forward(
+            trunk_tree, strides, x, scales=scales,
+            kind=trunk.kind, groups=trunk.groups,
+        )
         return _head_logits(head_params, x4)
 
     return fast_logits, trunk_tree
@@ -440,12 +525,15 @@ def make_dense_tile_probs(
     from cellsegmentation_tpu.ops.dense_frontend import (
         dense_grid_meta,
         frontend_patches,
+        unpermute_probs,
     )
 
     trunk = fold_tile_trunk(model, variables)
     meta = dense_grid_meta(hw, tile_size, interval)
     if trunk is None or meta is None:
         return None
+    if trunk.kind != "bottleneck" or trunk.groups != 1:
+        backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
 
     strides = tuple(trunk.strides)
     trunk_tree = trunk.tree()
@@ -474,7 +562,10 @@ def make_dense_tile_probs(
         x = normalize_images(
             u8, jnp.zeros((u8.shape[0],), jnp.int32), dtype=jnp.bfloat16
         )
-        x1 = trunk_forward(conv_tree, strides, x, scales=scales, n_stages=1)
+        x1 = trunk_forward(
+            conv_tree, strides, x, scales=scales, n_stages=1,
+            kind=trunk.kind, groups=trunk.groups,
+        )
         return _q8(x1, s0)
 
     def dense_probs(head_params, tree, images, flip):
@@ -498,14 +589,20 @@ def make_dense_tile_probs(
             for si in range(1, len(conv_tree[2])):
                 stage = conv_tree[2][si]
                 for bi, bw in enumerate(stage):
-                    x = _conv_bottleneck(
-                        x, bw, strides[si] if bi == 0 else 1,
-                        s_h1=scales.h1[si][bi], s_h2=scales.h2[si][bi],
-                    )
+                    stride_b = strides[si] if bi == 0 else 1
+                    if trunk.kind == "basic":
+                        x = _conv_basic(x, bw, stride_b,
+                                        s_h1=scales.h1[si][bi])
+                    else:
+                        x = _conv_bottleneck(
+                            x, bw, stride_b,
+                            s_h1=scales.h1[si][bi], s_h2=scales.h2[si][bi],
+                            groups=trunk.groups,
+                        )
                     x = _sandwich(x, scales.block_out[si][bi])
             x4 = x
         logits = _head_logits(head_params, x4)[:m0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
-        return probs.reshape(g, n_tiles)
+        return unpermute_probs(meta, probs.reshape(g, n_tiles), flip)
 
     return dense_probs, tree

@@ -23,10 +23,10 @@ from cellsegmentation_tpu.ops import dense_frontend as df
 def test_dense_grid_meta():
     m = df.dense_grid_meta(299, 32, 20)
     assert m is not None
-    assert (m.n_reg, m.n_all, m.bx, m.shift, m.base) == (14, 15, 267, 3, 296)
+    assert (m.n_reg, m.n_all, m.bx, m.crop0, m.cropw) == (14, 15, 267, 7, 292)
     m150 = df.dense_grid_meta(150, 32, 20)
     assert m150 is not None
-    assert (m150.n_reg, m150.bx, m150.shift) == (6, 118, 2)
+    assert (m150.n_reg, m150.bx, m150.crop0, m150.cropw) == (6, 118, 18, 132)
     assert df.dense_grid_meta(299, 16, 5) is None  # stage-3 grid: 5 % 4 != 0
     assert df.dense_grid_meta(292, 32, 20) is None  # no border-completion
 

@@ -84,12 +84,25 @@ def test_q8_engine_ranking_fidelity(resnet50_small):
 
 
 def test_engine_rejects_unsupported_archs():
-    model = build_model("resnext50_32x4d", policy=F32_POLICY)
-    variables = init_variables(model, jax.random.PRNGKey(0))
-    assert infer_engine.make_fast_tile_logits(model, variables) is None
     model = build_model("efficientnet_b0", policy=F32_POLICY)
     variables = init_variables(model, jax.random.PRNGKey(0))
     assert infer_engine.make_fast_tile_logits(model, variables) is None
+
+
+@pytest.mark.parametrize("arch", ["resnet18", "resnext50_32x4d"])
+def test_engine_folds_basic_and_grouped(arch):
+    """Round-3 extension (VERDICT #4): BasicBlock and grouped-Bottleneck
+    trunks get the folded fast path too, with ranking fidelity held
+    (reference archs: model/resnet.py:22-49, model/resnext.py:418-442)."""
+    model = build_model(arch, policy=F32_POLICY)
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    got, want = _engine_and_ref_probs(model, variables, calibrated=True)
+    m_g = got[:, 1] - got[:, 0]
+    m_w = want[:, 1] - want[:, 0]
+    assert np.corrcoef(m_g, m_w)[0, 1] > 0.9
+    rank_g = np.argsort(np.argsort(m_g))
+    rank_w = np.argsort(np.argsort(m_w))
+    assert np.corrcoef(rank_g, rank_w)[0, 1] > 0.85
 
 
 def test_step_factory_builds_engine(resnet50_small):
