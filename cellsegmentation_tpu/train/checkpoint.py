@@ -134,7 +134,21 @@ def restore_opt_state(template_opt_state: Any, stored: Any) -> Any:
     """
     if stored is None:
         return template_opt_state
-    return flax.serialization.from_state_dict(template_opt_state, stored)
+    try:
+        return flax.serialization.from_state_dict(template_opt_state, stored)
+    except (KeyError, ValueError, TypeError) as e:
+        # a mismatched stage mask or optimizer core (Adam vs SGD chain)
+        # yields an opaque structure error from from_state_dict; resuming
+        # with fresh optimizer state beats crashing, but say so loudly
+        import warnings
+
+        warnings.warn(
+            "checkpoint optimizer state does not match this run's optimizer "
+            f"structure (different stage or scheduler/optimizer flags?): {e}"
+            " — continuing with freshly initialized optimizer state",
+            stacklevel=2,
+        )
+        return template_opt_state
 
 
 def restore_into(

@@ -3,7 +3,9 @@
 Reproduces the reference's scheduler menu (reference: train_image.py:487-506):
 - OneCycleLR:  max_lr = lr, div_factor 25, pct_start 0.3, final lr ~0
 - ExponentialLR: gamma 0.9, stepped per *epoch*
-- CosineAnnealingWarmRestarts: T_0 = 10 epochs, stepped per epoch
+- CosineAnnealingWarmRestarts: stepped per epoch; T_0 = 10 epochs for
+  stage 1 / ensemble (train_image.py:504, train_ensemble.py:233) but 5 for
+  stages 2-3 (train_tile.py:299, train_seg.py:308) — callers pass ``t0``
 
 In torch, cyclic schedulers step per batch and the others per epoch
 (reference: train/train.py:38-45, 85-92). Optax schedules are pure functions
@@ -25,6 +27,7 @@ def make_schedule(
     base_lr: float,
     epochs: int,
     steps_per_epoch: int,
+    t0: int = 10,
 ) -> optax.Schedule:
     if name is None:
         return lambda step: base_lr
@@ -43,7 +46,6 @@ def make_schedule(
             return base_lr * jnp.power(0.9, epoch)
         return sched
     if name == "CosineAnnealingWarmRestarts":
-        t0 = 10
         def sched(step):
             epoch = step // steps_per_epoch
             t_cur = epoch % t0

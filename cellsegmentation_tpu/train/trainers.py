@@ -21,7 +21,9 @@ from cellsegmentation_tpu import infer
 from cellsegmentation_tpu.data.batches import BatchIterator
 from cellsegmentation_tpu.data.lysto import LystoDataSource
 from cellsegmentation_tpu.models.milnet import MILNet
+from cellsegmentation_tpu.ops import infer_engine as infer_engine_mod
 from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.parallel import multihost
 from cellsegmentation_tpu.parallel.sharding import shard_batch
 from cellsegmentation_tpu.train import checkpoint as ckpt_mod
 from cellsegmentation_tpu.train import steps as steps_mod
@@ -309,7 +311,7 @@ def train_stage2(
     if infer_engine in ("q8", "auto"):
         engine_kwargs = dict(
             variables=variables, engine=infer_engine,
-            calib_images=train_source.images[: min(4, len(train_source.images))],
+            calib_images=infer_engine_mod.pick_calib_images(train_source.images),
         )
     infer_fn = steps_mod.make_tile_infer_step(
         model, tile_size, coords, **engine_kwargs
@@ -337,7 +339,7 @@ def train_stage2(
     nominal_steps = max(
         1, (len(train_source) * (topk_neg + 1)) // tile_batch_size
     )
-    schedule = make_schedule(scheduler, lr, epochs, nominal_steps)
+    schedule = make_schedule(scheduler, lr, epochs, nominal_steps, t0=5)
     state = create_train_state(
         variables["params"],
         variables["batch_stats"],
@@ -356,6 +358,19 @@ def train_stage2(
         )
 
     pc = jax.process_count()
+    # every sweep batch must split EVENLY per process (an uneven lo/hi split
+    # breaks the global shape make_array_from_process_local_data infers) and
+    # stay a multiple of the mesh data axis for dp sharding
+    if mesh is not None:
+        from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+
+        data_ax = int(mesh.shape[DATA_AXIS])
+    else:
+        data_ax = 1
+    import math
+
+    quantum = math.lcm(pc, data_ax)
+    image_batch = -(-image_batch // quantum) * quantum
 
     def dense_probs(source) -> np.ndarray:
         """[N, T] tile probs for every image of ``source``.
@@ -372,13 +387,16 @@ def train_stage2(
         flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
         base_idx = getattr(source, "base_idx", np.arange(n))
         out = np.zeros((n, coords.shape[0]), dtype=np.float32)
+        idx_chunks, val_chunks = [], []
         it = BatchIterator(n, image_batch, shuffle=False)
         for sel, valid in it:
             # each process contributes its contiguous local slice of the
-            # global batch (mesh device order groups a process's chips)
-            lo = jax.process_index() * len(sel) // pc
-            hi = (jax.process_index() + 1) * len(sel) // pc
-            lsel = sel[lo:hi] if pc > 1 else sel
+            # global batch (mesh device order groups a process's chips);
+            # image_batch is pre-rounded so the split is always even
+            assert len(sel) % pc == 0, (len(sel), pc)
+            per = len(sel) // pc
+            lo = jax.process_index() * per
+            lsel = sel[lo : lo + per] if pc > 1 else sel
             if source is train_source:
                 dev = _device_batch(
                     {
@@ -405,16 +423,30 @@ def train_stage2(
                 for shard in probs.addressable_shards:
                     rows = sel[shard.index[0]]
                     v = valid[shard.index[0]]
-                    out[rows[v]] = np.asarray(shard.data)[v]
-        if pc > 1:
-            from jax.experimental import multihost_utils
-
-            out = np.asarray(multihost_utils.process_allgather(out)).sum(0)
+                    vals = np.asarray(shard.data)[v]
+                    out[rows[v]] = vals
+                    idx_chunks.append(rows[v])
+                    val_chunks.append(vals)
+        # slim cross-host exchange: each host ships only the rows it
+        # computed (≈ N/pc · T), not the whole [N, T] matrix
+        multihost.merge_process_rows([out], idx_chunks, [val_chunks])
         return out
 
     last_metrics = None
     for epoch in range(1 + last_epoch, epochs + 1):
         try:
+            # Schedules are sized from nominal_steps but the real per-epoch
+            # batch count varies with the selection; realign the step counter
+            # to the epoch boundary so cyclic schedules (OneCycle) keep their
+            # peak placement and epoch-stepped schedules stay exact (the
+            # reference steps per real batch over a scheduler sized from the
+            # FIRST epoch's loader, train_tile.py:293 + train/train.py:38-45
+            # — same within-epoch semantics, no cumulative drift). Safe:
+            # stage-2
+            # optimizers (SGD+momentum / Adam-no-schedule) are step-free.
+            state = state.replace(
+                step=jnp.asarray((epoch - 1) * nominal_steps, jnp.int32)
+            )
             # 1) dense inference over every training tile
             probs = dense_probs(train_source)
             # 2) adaptive top-k selection + ratio pruning
@@ -525,7 +557,7 @@ def draw_pseudo_masks(
     infer_tiles_fn = steps_mod.make_tile_infer_step(
         model, tile_size, tile_grid(h, w, tile_size, interval),
         variables=variables, engine="auto",
-        calib_images=source.images[: min(4, len(source.images))],
+        calib_images=infer_engine_mod.pick_calib_images(source.images),
     )
     probs = infer.inference_tiles(
         source, infer_tiles_fn, variables, tile_size, interval,
@@ -587,7 +619,7 @@ def train_stage3(
     logger = logger or RunLogger(output_dir or "./output")
     batch_size = _mesh_batch_size(batch_size, mesh)
     it = _host_iter(len(mask_source), batch_size, mesh, shuffle=True, seed=seed)
-    schedule = make_schedule(scheduler, lr, epochs, len(it))
+    schedule = make_schedule(scheduler, lr, epochs, len(it), t0=5)
     state = create_train_state(
         variables["params"],
         variables["batch_stats"],

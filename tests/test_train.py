@@ -206,6 +206,85 @@ class TestSchedules:
         assert float(sched(10)) == pytest.approx(1.0)  # restart at T_0=10
         assert float(sched(5)) == pytest.approx(0.5, abs=1e-6)
 
+    def test_cosine_t0_per_stage(self):
+        """Stages 2-3 restart every 5 epochs (reference train_tile.py:299,
+        train_seg.py:308), stage 1 every 10 (train_image.py:504)."""
+        sched = make_schedule(
+            "CosineAnnealingWarmRestarts", 1.0, epochs=30, steps_per_epoch=1,
+            t0=5,
+        )
+        assert float(sched(5)) == pytest.approx(1.0)  # restart at T_0=5
+        assert float(sched(2)) < 1.0
+
+    def test_stage2_onecycle_peak_survives_varying_selection(
+        self, model_and_vars, tmp_path, monkeypatch
+    ):
+        """The stage-2 schedule is sized from a nominal epoch length while
+        the real batch count varies with the selection; the trainer must
+        realign the step counter at each epoch boundary so the OneCycle
+        peak keeps its placement (reference steps per real batch over a
+        first-epoch-sized scheduler, train_tile.py:293 +
+        train/train.py:38-45)."""
+        from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
+        from cellsegmentation_tpu.train import steps as steps_mod
+        from cellsegmentation_tpu.train.trainers import train_stage2
+        from cellsegmentation_tpu.utils.logging import RunLogger
+
+        model, variables = model_and_vars
+        h5 = str(tmp_path / "training.h5")
+        make_synthetic_h5(h5, n_images=10, image_size=32, max_cells=5, seed=3)
+        src = LystoDataSource(h5, train=True, kfold=None, seed=0)
+
+        seen_steps = []
+        real_factory = steps_mod.make_tile_train_step
+
+        def recording_factory(*a, **k):
+            step_fn = real_factory(*a, **k)
+
+            def wrapped(state, images, batch):
+                seen_steps.append(int(state.step))
+                return step_fn(state, images, batch)
+
+            return wrapped
+
+        monkeypatch.setattr(steps_mod, "make_tile_train_step",
+                            recording_factory)
+
+        from cellsegmentation_tpu import infer as infer_mod
+
+        real_sample = infer_mod.sample_topk
+
+        def marking_sample(*a, **k):
+            seen_steps.append("epoch")  # epoch boundary marker
+            return real_sample(*a, **k)
+
+        monkeypatch.setattr(infer_mod, "sample_topk", marking_sample)
+        logger = RunLogger(str(tmp_path), tensorboard=False)
+        train_stage2(
+            model, dict(variables), src, None,
+            epochs=3, tile_batch_size=64, image_batch=8,
+            tile_size=16, interval=8, tiles_per_pos=2, topk_neg=4,
+            pos_neg_ratio=0.5, threshold=0.5, lr=1e-3,
+            scheduler="OneCycleLR",
+            encoder_name="resnet18", output_dir=None, logger=logger, seed=0,
+        )
+        logger.close()
+
+        n = len(src)
+        nominal = max(1, (n * (4 + 1)) // 64)
+        # every epoch's first update sits exactly at its nominal boundary,
+        # regardless of how many batches the previous epochs really ran
+        epochs_seen = []
+        for s in seen_steps:
+            if s == "epoch":
+                epochs_seen.append([])
+            else:
+                epochs_seen[-1].append(s)
+        assert len(epochs_seen) == 3
+        for e, steps_in_epoch in enumerate(epochs_seen):
+            assert steps_in_epoch, f"epoch {e} ran no batches"
+            assert steps_in_epoch[0] == e * nominal, (seen_steps, nominal)
+
 
 class TestResume:
     def test_stage1_resume_fast_forwards_schedule(self, model_and_vars, tmp_path):
