@@ -156,6 +156,111 @@ _ARCHS = {
     "resnext101_32x8d": ((3, 4, 23, 3), True),
 }
 
+# (groups, width_per_group) — torchvision's Bottleneck width parameters
+_GROUPS = {
+    "resnet18": (1, 64),
+    "resnet34": (1, 64),
+    "resnet50": (1, 64),
+    "resnext50_32x4d": (32, 4),
+    "resnext101_32x8d": (32, 8),
+}
+
+
+def torchvision_key_schema(arch: str) -> dict:
+    """Expected torchvision state-dict schema for ``arch``: key -> shape.
+
+    Derived from torchvision's ResNet/ResNeXt constructor arithmetic (the
+    reference loads these checkpoints at model/resnet.py:336-361 /
+    model/resnext.py:418-442). ``num_batches_tracked`` keys are accepted
+    but not listed (value-free); ``fc.*`` is the ImageNet classifier the
+    conversion drops.
+    """
+    stage_sizes, bottleneck = _ARCHS[arch]
+    groups, base_width = _GROUPS[arch]
+    exp = 4 if bottleneck else 1
+    schema: dict = {"conv1.weight": (64, 3, 7, 7)}
+
+    def bn(prefix: str, c: int) -> None:
+        for suffix in ("weight", "bias", "running_mean", "running_var"):
+            schema[f"{prefix}.{suffix}"] = (c,)
+
+    bn("bn1", 64)
+    inplanes = 64
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        planes = 64 * 2 ** (stage - 1)
+        width = int(planes * base_width / 64) * groups
+        for b in range(blocks):
+            p = f"layer{stage}.{b}"
+            if bottleneck:
+                schema[f"{p}.conv1.weight"] = (width, inplanes, 1, 1)
+                bn(f"{p}.bn1", width)
+                schema[f"{p}.conv2.weight"] = (width, width // groups, 3, 3)
+                bn(f"{p}.bn2", width)
+                schema[f"{p}.conv3.weight"] = (planes * exp, width, 1, 1)
+                bn(f"{p}.bn3", planes * exp)
+            else:
+                schema[f"{p}.conv1.weight"] = (planes, inplanes, 3, 3)
+                bn(f"{p}.bn1", planes)
+                schema[f"{p}.conv2.weight"] = (planes, planes, 3, 3)
+                bn(f"{p}.bn2", planes)
+            if b == 0 and (stage > 1 or inplanes != planes * exp):
+                schema[f"{p}.downsample.0.weight"] = (
+                    planes * exp, inplanes, 1, 1
+                )
+                bn(f"{p}.downsample.1", planes * exp)
+            inplanes = planes * exp
+    schema["fc.weight"] = (1000, 512 * exp)
+    schema["fc.bias"] = (1000,)
+    return schema
+
+
+def validate_torchvision_state_dict(arch: str, sd: Mapping) -> list[str]:
+    """Schema check before conversion: returns a list of human-readable
+    problems (missing keys, unexpected keys, wrong shapes); empty = clean.
+    A wrong-arch file fails loudly here instead of with an opaque KeyError
+    mid-conversion."""
+    schema = torchvision_key_schema(arch)
+    problems = []
+    missing = sorted(k for k in schema if k not in sd)
+    extra = sorted(
+        k for k in sd
+        if k not in schema and not k.endswith("num_batches_tracked")
+    )
+    if missing:
+        problems.append(
+            f"{len(missing)} expected key(s) missing for {arch}: "
+            + ", ".join(missing[:8]) + ("..." if len(missing) > 8 else "")
+        )
+    if extra:
+        problems.append(
+            f"{len(extra)} unexpected key(s): "
+            + ", ".join(extra[:8]) + ("..." if len(extra) > 8 else "")
+        )
+    sd_keys = {k for k in sd if not k.endswith("num_batches_tracked")}
+    if missing or extra or any(
+        k in sd and tuple(np.asarray(sd[k]).shape) != want
+        for k, want in schema.items()
+    ):
+        for other in _ARCHS:
+            if other == arch:
+                continue
+            osch = torchvision_key_schema(other)
+            if set(osch) == sd_keys and all(
+                tuple(np.asarray(sd[k]).shape) == want
+                for k, want in osch.items()
+            ):
+                problems.append(
+                    f"hint: the file matches torchvision {other!r} — "
+                    f"wrong --arch?"
+                )
+                break
+    for k, want in schema.items():
+        if k in sd:
+            got = tuple(np.asarray(sd[k]).shape)
+            if got != want:
+                problems.append(f"shape mismatch {k}: got {got}, want {want}")
+    return problems
+
 
 def convert_checkpoint(arch: str, torch_path: str, out_path: str) -> str:
     """Produce a pt1-shaped .ckpt whose encoder subtree carries ImageNet
