@@ -34,7 +34,7 @@ REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.j
 BASELINE = 5000.0  # BASELINE.json: ≥5k 299² img-equiv tiles/s/chip
 
 
-def build_step(engine: str):
+def build_step(engine: str, encoder: str = "resnet50"):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +46,7 @@ def build_step(engine: str):
     IMAGE_BATCH = 192  # 192 images/step × 225 tiles = 43200-tile forward
     # (batch sweep: 64 -> 2665, 128 -> 2880, 192 -> 3036 img-equiv/s)
 
-    model = build_model("resnet50")
+    model = build_model(encoder)
     variables = init_variables(model, jax.random.PRNGKey(0))
     coords = tile_grid(HW, HW, TILE_SIZE, INTERVAL)
 
@@ -91,6 +91,10 @@ def measure(infer_fn, variables, batches, flip, n_steps: int, rounds: int) -> fl
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--engine", choices=("flax", "q8", "q8g", "q8d", "q8dg", "auto"), default="auto")
+    parser.add_argument("-E", "--encoder", default="resnet50",
+                        help="any registry encoder, e.g. resnext50_32x4d "
+                             "(folded q8 fast path covers the full "
+                             "ResNet/ResNeXt family)")
     parser.add_argument("--quick", action="store_true",
                         help="short run + >10%% regression gate vs BENCH_REF.json")
     parser.add_argument("--record", action="store_true",
@@ -101,7 +105,9 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    infer_fn, variables, batches, flip, image_batch = build_step(args.engine)
+    infer_fn, variables, batches, flip, image_batch = build_step(
+        args.engine, args.encoder
+    )
     step_s = (
         measure(infer_fn, variables, batches, flip, 5, 2)
         if args.quick
@@ -122,8 +128,9 @@ def main() -> None:
 
     if args.record:
         with open(REF_PATH, "w") as f:
-            json.dump({"value": round(images_per_sec, 1), "engine": args.engine}, f)
-    elif args.quick and os.path.exists(REF_PATH):
+            json.dump({"value": round(images_per_sec, 1), "engine": args.engine,
+                       "encoder": args.encoder}, f)
+    elif args.quick and args.encoder == "resnet50" and os.path.exists(REF_PATH):
         with open(REF_PATH) as f:
             ref = json.load(f)["value"]
         # quick windows run cooler than the full best-of-3x10 measurement;
