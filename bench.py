@@ -33,6 +33,17 @@ import numpy as np
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_REF.json")
 BASELINE = 5000.0  # BASELINE.json: ≥5k 299² img-equiv tiles/s/chip
 
+# --quick now takes best-of-3 5-step windows (same best-of-3 discipline as
+# the full run), so the cool-window systematic gap is gone and the gate can
+# sit at 0.90: tunnel noise is ±5-8% on a best-of-3, a real 10%+ hot-loop
+# regression lands below it (VERDICT r2 weak #4)
+GATE_FRACTION = 0.90
+
+
+def gate_fails(measured: float, recorded_ref: float) -> bool:
+    """True when the quick measurement is a real regression vs the record."""
+    return measured < GATE_FRACTION * recorded_ref
+
 
 def build_step(engine: str, encoder: str = "resnet50"):
     import jax
@@ -55,7 +66,8 @@ def build_step(engine: str, encoder: str = "resnet50"):
         jnp.asarray(rng.integers(0, 255, size=(IMAGE_BATCH, HW, HW, 3), dtype=np.uint8))
         for _ in range(4)
     ]
-    flip = jnp.zeros((IMAGE_BATCH,), jnp.int32)
+    # host array: lets the dense engine dispatch its flip-free graph
+    flip = np.zeros((IMAGE_BATCH,), np.int32)
 
     kwargs = {}
     if engine in ("q8", "q8g", "q8d", "q8dg", "auto"):
@@ -109,7 +121,7 @@ def main() -> None:
         args.engine, args.encoder
     )
     step_s = (
-        measure(infer_fn, variables, batches, flip, 5, 2)
+        measure(infer_fn, variables, batches, flip, 5, 3)
         if args.quick
         else measure(infer_fn, variables, batches, flip, 10, 3)
     )
@@ -133,13 +145,10 @@ def main() -> None:
     elif args.quick and args.encoder == "resnet50" and os.path.exists(REF_PATH):
         with open(REF_PATH) as f:
             ref = json.load(f)["value"]
-        # quick windows run cooler than the full best-of-3x10 measurement;
-        # 0.82 of the recorded best separates real regressions from that
-        # systematic gap plus tunnel noise
-        if images_per_sec < 0.82 * ref:
+        if gate_fails(images_per_sec, ref):
             print(
-                f"REGRESSION: {images_per_sec:.0f} img/s < 82% of recorded "
-                f"{ref:.0f} img/s",
+                f"REGRESSION: {images_per_sec:.0f} img/s < "
+                f"{GATE_FRACTION:.0%} of recorded {ref:.0f} img/s",
                 file=sys.stderr,
             )
             sys.exit(1)

@@ -115,7 +115,9 @@ def inference_tiles(
     for b in multihost.my_batches(len(batches)):
         sel, valid = batches[b]
         images = source.images[base_idx[sel]]
-        probs = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
+        # flip stays a HOST array: the step dispatches flip-free batches to
+        # a specialized graph with a cheap host check (jit transfers it)
+        probs = infer_step(variables, jnp.asarray(images), flip[sel])
         vals = np.asarray(probs)[valid]
         out[sel[valid]] = vals
         idx_chunks.append(sel[valid])

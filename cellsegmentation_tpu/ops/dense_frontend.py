@@ -81,7 +81,15 @@ def apply_flips(images_u8: jnp.ndarray, flip_codes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sel(flag, a, b):
-    """Per-sample 2-way select of equal-shape static slices: [G,...]."""
+    """Per-sample 2-way select of equal-shape static slices: [G,...].
+
+    ``flag=None`` means "no flipped samples in this batch": the unflipped
+    branch is returned as-is and the dead flipped-branch slice is DCE'd —
+    the all-zero-flip graph (val/test sweeps, pseudo-mask drawing, bench)
+    skips every select's double read and the whole-image reverse.
+    """
+    if flag is None:
+        return b
     return jnp.where(flag[:, None, None, None], a, b)
 
 
@@ -100,9 +108,13 @@ def frontend_patches(meta: DenseGridMeta, stem_fn, images_u8, flip_codes):
     span = meta.tile_size // 4
     step = meta.interval // 4
     sw = meta.tile_size + 4  # strip width: border tile + 4-px halo
-    fx = (flip_codes == 2) | (flip_codes == 3)  # row-axis flip
-    fy = (flip_codes == 1) | (flip_codes == 3)  # col-axis flip
-    xr = apply_flips(images_u8, flip_codes)
+    if flip_codes is None:  # statically flip-free batch
+        fx = fy = None
+        xr = images_u8
+    else:
+        fx = (flip_codes == 2) | (flip_codes == 3)  # row-axis flip
+        fy = (flip_codes == 1) | (flip_codes == 3)  # col-axis flip
+        xr = apply_flips(images_u8, flip_codes)
 
     # crops: flipped axes start at crop0 so mirrored interior coords land
     # on the same static /4 starts; strips cover the border tile + halo
@@ -167,6 +179,8 @@ def unpermute_probs(meta: DenseGridMeta, probs, flip_codes):
     relayout of the tiny prob matrix — the 700 MB patch tensor upstream
     never needs reordering.
     """
+    if flip_codes is None:
+        return probs  # canvas order == tile order without flips
     g = probs.shape[0]
     n, nr = meta.n_all, meta.n_reg
     fx = (flip_codes == 2) | (flip_codes == 3)

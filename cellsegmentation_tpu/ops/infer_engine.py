@@ -576,12 +576,29 @@ def make_dense_tile_probs(
         )  # int8 [G*T, span, span, C]
         m0 = patches.shape[0]
         if deep:
-            xq = patches.reshape(m0, -1)
+            # hybrid conv->GEMM boundary: the first block's 1x1-reduce and
+            # projection run as XLA convs on the 4-D patch tensor (conv-
+            # friendly layout), so the whole-tile [N, px*C] retile happens
+            # on the c_mid-wide h1 rather than the 4x-wider block input
+            # (5.2 ms of copy+reshape in the first integration's profile)
+            blk0 = conv_tree[2][1][0]
+            x_bf = _dq(patches, s0)
+            h1 = jnp.maximum(
+                _cv(x_bf, blk0[0], 1, "VALID")
+                + blk0[1].astype(jnp.bfloat16), 0
+            )
+            h1q = _q8(h1, scales.h1[1][0]).reshape(m0, -1)
+            pr = _cv(x_bf, blk0[6], strides[1], "VALID") + blk0[7].astype(
+                jnp.bfloat16
+            )
+            prq = _q8(pr, scales.proj[1][0]).reshape(m0, -1)
             pad = (-m0) % TILE_ALIGN
             if pad:
-                xq = jnp.pad(xq, ((0, pad), (0, 0)))
+                h1q = jnp.pad(h1q, ((0, pad), (0, 0)))
+                prq = jnp.pad(prq, ((0, pad), (0, 0)))
             feats = q8_backend_forward(
-                tree[1], qmetas, xq, interpret=interpret
+                tree[1], qmetas, None, interpret=interpret,
+                first_h1=h1q, first_res=prq,
             )
             x4 = feats.reshape(feats.shape[0], hf, wf, cf)
         else:

@@ -164,7 +164,8 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int):
     return params, metas
 
 
-def q8_backend_forward(params, metas, xq, interpret: bool = False):
+def q8_backend_forward(params, metas, xq, interpret: bool = False,
+                       first_h1=None, first_res=None):
     """int8 layer1-output patches [N, px*C] in WHOLE-TILE layout (quantized
     with the stage-0 block_out scale, col = (h*w_in + w)*C + c) -> bf16
     final features [N, pxf*Cf].
@@ -176,30 +177,42 @@ def q8_backend_forward(params, metas, xq, interpret: bool = False):
     layouts make [N*px, C] <-> [N, px*C] reshapes real 1-2 ms copies, which
     dominated the first integration's profile).
 
+    ``first_h1``/``first_res`` (both required together, first block must
+    carry a projection): the first block's 1x1-reduce and projection
+    outputs precomputed in CONV-land (already int8 at s_h1/s_res, whole-
+    tile flat). Entering GEMM-land after them means the retile at the
+    conv->GEMM boundary happens on the c_mid-wide h1 instead of the
+    4x-wider block input (measured 5.2 ms of copy+reshape on the dense
+    frontend's [43200, 8*8*256] entry); ``xq`` may then be None.
+
     N must be a multiple of TILE_ALIGN (pad with garbage tiles and mask
     downstream; every op here is per-tile independent).
     """
-    for p, m in zip(params, metas):
+    for i, (p, m) in enumerate(zip(params, metas)):
         px_in = m.h_in * m.w_in
         px_out = m.h_out * m.w_out
-        h1 = q8_matmul_px(
-            xq, p["w1"], p["b1"], p["s1"], px=px_in, c_in=m.c_in,
-            in_scale=m.s_in, out_scale=m.s_h1, interpret=interpret,
-        )
+        if i == 0 and first_h1 is not None:
+            h1 = first_h1
+            res = first_res
+        else:
+            h1 = q8_matmul_px(
+                xq, p["w1"], p["b1"], p["s1"], px=px_in, c_in=m.c_in,
+                in_scale=m.s_in, out_scale=m.s_h1, interpret=interpret,
+            )
+            if m.has_proj:
+                res = q8_matmul_px(
+                    xq, p["wp"], p["bp"], p["sp"], px=px_out, c_in=m.c_in,
+                    px_map=(m.stride, m.w_in, m.w_out),
+                    in_scale=m.s_in, out_scale=m.s_res, relu=False,
+                    interpret=interpret,
+                )
+            else:
+                res = xq
         h2 = q8_matmul(
             h1, p["w2"], p["b2"], p["s2"],
             out_kind="int8", in_scale=m.s_h1, out_scale=m.s_h2,
             interpret=interpret,
         )
-        if m.has_proj:
-            res = q8_matmul_px(
-                xq, p["wp"], p["bp"], p["sp"], px=px_out, c_in=m.c_in,
-                px_map=(m.stride, m.w_in, m.w_out),
-                in_scale=m.s_in, out_scale=m.s_res, relu=False,
-                interpret=interpret,
-            )
-        else:
-            res = xq
         xq = q8_matmul_px(
             h2, p["w3"], p["b3"], p["s3"], residual=res, px=px_out,
             c_in=m.c_mid, res_scale=m.s_res,

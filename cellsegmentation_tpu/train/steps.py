@@ -21,6 +21,7 @@ from __future__ import annotations
 import functools
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from cellsegmentation_tpu.data.batches import normalize_images
 from cellsegmentation_tpu.models.milnet import MILNet
@@ -174,10 +175,20 @@ def make_tile_infer_step(
             def infer_dense(head_params, tree, images, flip):
                 return dense_probs_fn(head_params, tree, images, flip)
 
+            @jax.jit
+            def infer_dense_noflip(head_params, tree, images):
+                return dense_probs_fn(head_params, tree, images, None)
+
             def infer_with_dense(variables_in, images, flip):
-                return infer_dense(
-                    variables_in["params"]["fc_tile"], tree, images, flip
-                )
+                head = variables_in["params"]["fc_tile"]
+                # flip-free batches (val/test sweeps, pseudo-mask drawing,
+                # bench) take the specialized graph: no whole-image
+                # reverse, no double-read selects. Callers pass host flip
+                # arrays so this check costs no device fetch.
+                f = flip if isinstance(flip, np.ndarray) else np.asarray(flip)
+                if not f.any():
+                    return infer_dense_noflip(head, tree, images)
+                return infer_dense(head, tree, images, flip)
 
             return infer_with_dense
         engine = {"q8d": "q8", "q8dg": "q8g"}[engine]  # fallback

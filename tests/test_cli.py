@@ -242,3 +242,24 @@ class TestEnsemble:
         with open(csvs[0]) as f:
             rows = list(csv.reader(f))
         assert len(rows) == 7
+
+
+class TestBenchGate:
+    """bench.py --quick regression gate (VERDICT r2 weak #4): a 10%
+    hot-loop slowdown must fail the gate; best-of-3 noise must not."""
+
+    def test_catches_synthetic_10pct_slowdown(self):
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", "/root/repo/bench.py"
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        ref = 3600.0
+        assert bench.gate_fails(ref * 0.89, ref)      # 11% down: caught
+        assert bench.gate_fails(ref * 0.90 - 1, ref)  # just past the line
+        assert not bench.gate_fails(ref * 0.95, ref)  # noise band: passes
+        assert not bench.gate_fails(ref, ref)
+        assert bench.GATE_FRACTION >= 0.90

@@ -116,3 +116,39 @@ def test_dense_ranking_matches_flax(engine, monkeypatch):
 
     assert spearmanr(p_ref, p).statistic > 0.8
     assert np.abs(p - p_ref).max() < 0.05
+
+
+@pytest.mark.parametrize("engine", ["q8d", "q8dg"])
+def test_dense_noflip_graph_matches(engine, monkeypatch):
+    """Host all-zero flip arrays dispatch the specialized flip-free graph
+    (flip_codes=None: no selects, no whole-image reverse); its output must
+    match the flax path on an unflipped batch."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops import q8_trunk
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)
+
+    tile, interval, hw, g = 32, 20, 150, 2
+    model = build_model("resnet50")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    imgs = _structured_images(hw, g)
+    flip0 = np.zeros((g,), np.int32)
+
+    ref_fn = steps_mod.make_tile_infer_step(model, tile, coords)
+    p_ref = np.asarray(
+        ref_fn(variables, jnp.asarray(imgs), jnp.asarray(flip0))
+    ).ravel()
+
+    fn = steps_mod.make_tile_infer_step(
+        model, tile, coords, variables=variables, engine=engine,
+        calib_images=imgs,
+    )
+    p = np.asarray(fn(variables, jnp.asarray(imgs), flip0)).ravel()
+
+    from scipy.stats import spearmanr
+
+    assert spearmanr(p_ref, p).statistic > 0.8
+    assert np.abs(p - p_ref).max() < 0.05

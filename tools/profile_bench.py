@@ -35,7 +35,7 @@ def capture(out_dir: str) -> None:
     variables = init_variables(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
     b = jnp.asarray(rng.integers(0, 255, size=(192, 299, 299, 3), dtype=np.uint8))
-    flip = jnp.zeros((192,), jnp.int32)
+    flip = np.zeros((192,), np.int32)  # host: hits the flip-free dense graph
     engine = os.environ.get("CST_PROFILE_ENGINE", "q8")  # q8|q8g|q8d|q8dg|flax
     kwargs = (
         dict(variables=variables, engine=engine, calib_images=np.asarray(b[:4]))
