@@ -574,6 +574,14 @@ def make_dense_tile_probs(
         patches = frontend_patches(
             meta, lambda u8: stem0(conv_tree, u8), images, flip
         )  # int8 [G*T, span, span, C]
+        # pin the s8 patch tensor: without this XLA hoists the dequantize
+        # into the band-assembly fusion and the 6-D canvas->row-major
+        # relayout copy runs on bf16 (2x the bytes; measured 4.2 ms + a
+        # separate 3.3 ms dequant pass at [192,15,15,8,8,256]); with it the
+        # relayout runs on int8 (2.2 ms). A dual-alias barrier split that
+        # fed c1/proj separate dequants measured WORSE (3,313 vs 3,491) —
+        # XLA duplicates the dequant into two standalone passes.
+        patches = jax.lax.optimization_barrier(patches)
         m0 = patches.shape[0]
         if deep:
             # hybrid conv->GEMM boundary: the first block's 1x1-reduce and
