@@ -510,6 +510,7 @@ def make_fast_tile_logits(
 def make_dense_tile_probs(
     model: MILNet, variables: dict, tile_size: int, interval: int, hw: int,
     calib_tiles: np.ndarray, backend: str = "conv",
+    gemm_first_stage: int = 2,
 ):
     """Dense shared-stem sweep: (head_params, tree, images u8 [G,hw,hw,3],
     flip [G]) -> probs [G, T] in reference tile order.
@@ -520,6 +521,14 @@ def make_dense_tile_probs(
     through the conv sandwiches (backend="conv") or the int8 GEMM trunk
     (backend="gemm", ops/q8_trunk.py). Returns None when the arch or grid
     is unsupported (caller falls back to the per-tile path).
+
+    ``gemm_first_stage`` (backend="gemm" only): trunk stage index where
+    GEMM-land starts. 2 = conv-land through layer2, whole-tile int8 GEMMs
+    for layers 3-4 — layer2's 3x3s stay XLA convs because their whole-tile
+    Toeplitz weights are 7x FLOP-redundant at 8x8 px (measured 4.3 ms for
+    the layer2 c2 GEMM vs ~0.5 conv), while at layer3/4's 4x4/2x2 px the
+    redundancy is affordable and the conv emitter runs 2-5x off its floor.
+    1 = GEMM-land from layer2 (the hybrid c1/proj conv entry).
     """
     from cellsegmentation_tpu.data.batches import normalize_images
     from cellsegmentation_tpu.ops.dense_frontend import (
@@ -543,6 +552,7 @@ def make_dense_tile_probs(
     s0 = float(scales.block_out[0][-1])
     n_tiles = meta.n_all * meta.n_all
     span = tile_size // 4
+    interpret = jax.default_backend() == "cpu"
 
     if deep:
         from cellsegmentation_tpu.ops.q8_trunk import (
@@ -551,8 +561,12 @@ def make_dense_tile_probs(
             q8_backend_forward,
         )
 
-        qparams, qmetas = build_q8_backend(trunk, scales, span, span)
-        interpret = jax.default_backend() == "cpu"
+        gspan = span
+        for _ in range(1, gemm_first_stage):
+            gspan = (gspan + 1) // 2  # each conv-land stage strides 2
+        qparams, qmetas = build_q8_backend(
+            trunk, scales, gspan, gspan, first_stage=gemm_first_stage
+        )
         hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
         tree = (trunk_tree, qparams)
     else:
@@ -583,12 +597,18 @@ def make_dense_tile_probs(
         # XLA duplicates the dequant into two standalone passes.
         patches = jax.lax.optimization_barrier(patches)
         m0 = patches.shape[0]
-        if deep:
+
+        if deep and gemm_first_stage == 1:
             # hybrid conv->GEMM boundary: the first block's 1x1-reduce and
             # projection run as XLA convs on the 4-D patch tensor (conv-
             # friendly layout), so the whole-tile [N, px*C] retile happens
             # on the c_mid-wide h1 rather than the 4x-wider block input
-            # (5.2 ms of copy+reshape in the first integration's profile)
+            # (5.2 ms of copy+reshape in the first integration's profile).
+            # NOTE an all-GEMM entry (c1/proj as Pallas int8 GEMMs on the
+            # "bitcast" flat patches) measured WORSE (2,980 vs 3,491):
+            # XLA's 2-D T(8,128) vs 4-D T(4,128) tilings make every
+            # flat<->NHWC reshape a real relayout copy and the dequants
+            # materialize as standalone passes.
             blk0 = conv_tree[2][1][0]
             x_bf = _dq(patches, s0)
             h1 = jnp.maximum(
@@ -611,21 +631,45 @@ def make_dense_tile_probs(
             x4 = feats.reshape(feats.shape[0], hf, wf, cf)
         else:
             x = _dq(patches, s0)
-            for si in range(1, len(conv_tree[2])):
+            conv_end = gemm_first_stage if deep else len(conv_tree[2])
+            xq = None
+            for si in range(1, conv_end):
                 stage = conv_tree[2][si]
                 for bi, bw in enumerate(stage):
                     stride_b = strides[si] if bi == 0 else 1
+                    # conv-land intra sandwiches stop at _INTRA_STAGES even
+                    # when deep calibration populated h1/h2 everywhere
+                    # (stage-3/4 intra sandwiches measured no gain)
+                    intra = si < _INTRA_STAGES
                     if trunk.kind == "basic":
-                        x = _conv_basic(x, bw, stride_b,
-                                        s_h1=scales.h1[si][bi])
+                        x = _conv_basic(
+                            x, bw, stride_b,
+                            s_h1=scales.h1[si][bi] if intra else None,
+                        )
                     else:
                         x = _conv_bottleneck(
                             x, bw, stride_b,
-                            s_h1=scales.h1[si][bi], s_h2=scales.h2[si][bi],
+                            s_h1=scales.h1[si][bi] if intra else None,
+                            s_h2=scales.h2[si][bi] if intra else None,
                             groups=trunk.groups,
                         )
-                    x = _sandwich(x, scales.block_out[si][bi])
-            x4 = x
+                    if deep and si == conv_end - 1 and bi == len(stage) - 1:
+                        # conv/GEMM depth-split seam: quantize into the
+                        # GEMM entry scale, flatten to whole-tile [N, px*C]
+                        xq = _q8(x, scales.block_out[si][bi])
+                    else:
+                        x = _sandwich(x, scales.block_out[si][bi])
+            if deep:
+                xq = xq.reshape(m0, -1)
+                pad = (-m0) % TILE_ALIGN
+                if pad:
+                    xq = jnp.pad(xq, ((0, pad), (0, 0)))
+                feats = q8_backend_forward(
+                    tree[1], qmetas, xq, interpret=interpret
+                )
+                x4 = feats.reshape(feats.shape[0], hf, wf, cf)
+            else:
+                x4 = x
         logits = _head_logits(head_params, x4)[:m0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
         return unpermute_probs(meta, probs.reshape(g, n_tiles), flip)

@@ -92,19 +92,23 @@ class QBlockMeta:
     has_proj: bool
 
 
-def build_q8_backend(folded, scales, h_in: int, w_in: int):
-    """(FoldedTrunk, deep TrunkScales, stage-1 input spatial) ->
-    (params pytree, [QBlockMeta]) for layers 2-4.
+def build_q8_backend(folded, scales, h_in: int, w_in: int,
+                     first_stage: int = 1):
+    """(FoldedTrunk, deep TrunkScales, stage input spatial) ->
+    (params pytree, [QBlockMeta]) for layers ``first_stage+1``..4.
 
     ``scales`` must be calibrated with deep=True (h1/h2 at every stage +
-    proj + block_out); ``h_in`` x ``w_in`` is the layer1-output patch size
-    (8x8 for 32-tiles, 4x4 for 16-tiles).
+    proj + block_out); ``h_in`` x ``w_in`` is the input patch size at
+    stage ``first_stage`` (layer1-out 8x8 for 32-tiles when first_stage=1;
+    layer2-out 4x4 when first_stage=2 — the conv/GEMM depth split that
+    keeps layer2's 3x3s, whose whole-tile Toeplitz weights are 7x
+    FLOP-redundant at 8x8 px, in XLA conv-land).
     """
     params: List[dict] = []
     metas: List[QBlockMeta] = []
     h, w = h_in, w_in
     n_stages = len(folded.stages)
-    for si in range(1, n_stages):
+    for si in range(first_stage, n_stages):
         stride = folded.strides[si]
         for bi, ws in enumerate(folded.stages[si]):
             blk_stride = stride if bi == 0 else 1

@@ -308,7 +308,7 @@ def train_stage2(
     # stage-2 cycle, so BN folding + activation calibration stay valid and
     # only fc_tile is re-read per call (+24% measured on the bench loop)
     engine_kwargs = {}
-    if infer_engine in ("q8", "auto"):
+    if infer_engine in ("q8", "q8g", "q8d", "q8dg", "auto"):
         engine_kwargs = dict(
             variables=variables, engine=infer_engine,
             calib_images=infer_engine_mod.pick_calib_images(train_source.images),
