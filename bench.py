@@ -10,7 +10,10 @@ Engines:
   flax  — bf16 NHWC convs through the flax model (the training-path graph)
   q8    — folded all-conv trunk + int8 activation sandwiches
           (ops/infer_engine.py; measured +19%% over flax)
-  auto  — q8 when the encoder is foldable, else flax
+  q8d   — shared dense stem+layer1 per image, per-tile conv layers 2-4
+  q8dg  — dense frontend + Pallas int8 GEMM layers 3-4 (ops/q8_trunk.py)
+  auto  — fastest validated chain: q8dg when grid+arch qualify, else q8,
+          else flax
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -72,7 +75,7 @@ def build_step(engine: str, encoder: str = "resnet50"):
     kwargs = {}
     if engine in ("q8", "q8g", "q8d", "q8dg", "auto"):
         kwargs = dict(
-            variables=variables, engine="q8" if engine == "auto" else engine,
+            variables=variables, engine=engine,
             calib_images=np.asarray(batches[0][:4]),
         )
     infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords, **kwargs)

@@ -630,12 +630,27 @@ def make_dense_tile_probs(
             )
             x4 = feats.reshape(feats.shape[0], hf, wf, cf)
         else:
-            x = _dq(patches, s0)
+            # feed the s8 patches to block0 with the dequant scale FOLDED
+            # into its conv weights: the pure s8->bf16 convert can fuse
+            # into the c1/proj conv fusions, where the explicit
+            # dequant-multiply materialized as a standalone 1.4 GB bf16
+            # pass (3.3 ms at [43200,8,8,256])
+            x = patches.astype(jnp.bfloat16)
+            fold0 = True
             conv_end = gemm_first_stage if deep else len(conv_tree[2])
             xq = None
             for si in range(1, conv_end):
                 stage = conv_tree[2][si]
                 for bi, bw in enumerate(stage):
+                    if fold0:
+                        k = 6 if trunk.kind == "bottleneck" else 4
+                        bw = tuple(
+                            (w.astype(jnp.float32) * s0).astype(jnp.bfloat16)
+                            if wi in (0, k)
+                            else w
+                            for wi, w in enumerate(bw)
+                        )
+                        fold0 = False
                     stride_b = strides[si] if bi == 0 else 1
                     # conv-land intra sandwiches stop at _INTRA_STAGES even
                     # when deep calibration populated h1/h2 everywhere

@@ -147,6 +147,9 @@ def make_tile_infer_step(
     activation sandwiches — measured +19% over the flax graph). Valid while
     the encoder stays frozen — i.e. the whole stage-2 cycle; only fc_tile
     is read per call. Falls back to the flax path for unfoldable encoders.
+    ``engine="auto"`` picks the fastest validated chain for the platform:
+    dense shared-stem int8-GEMM (q8dg) when the grid lives on the /4 stem
+    lattice and the arch folds, else per-tile q8, else flax.
 
     For backward compatibility coords may be omitted, in which case the step
     accepts it as a (static, hashable-free) 4th array argument via the
@@ -163,10 +166,11 @@ def make_tile_infer_step(
 
     coords = np.asarray(coords)
 
-    if engine in ("q8d", "q8dg") and variables is not None and calib_images is not None:
+    dense_try = _resolve_dense_engine(engine)
+    if dense_try and variables is not None and calib_images is not None:
         built = _build_dense_engine(
             model, variables, tile_size, coords, calib_images,
-            backend="gemm" if engine == "q8dg" else "conv",
+            backend="gemm" if dense_try == "q8dg" else "conv",
         )
         if built is not None:
             dense_probs_fn, tree = built
@@ -191,7 +195,8 @@ def make_tile_infer_step(
                 return infer_dense(head, tree, images, flip)
 
             return infer_with_dense
-        engine = {"q8d": "q8", "q8dg": "q8g"}[engine]  # fallback
+        # per-tile fallback when the grid/arch is dense-ineligible
+        engine = {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
 
     if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:
         from cellsegmentation_tpu.ops.infer_engine import (
@@ -232,6 +237,22 @@ def make_tile_infer_step(
         return _tile_infer_body(model, tile_size, variables, images, flip, coords)
 
     return infer
+
+
+def _resolve_dense_engine(engine):
+    """Which dense shared-stem engine (if any) an ``engine`` request maps to.
+
+    ``"auto"`` promotes to the dense int8-GEMM engine (q8dg — the fastest
+    validated serving path, docs/PERF.md) on real accelerators; on the CPU
+    backend Pallas only runs in interpret mode (a per-grid-cell Python
+    loop, not a serving target), so auto resolves to the per-tile q8 path
+    there. Explicit ``"q8d"``/``"q8dg"`` requests are always honored.
+    """
+    if engine in ("q8d", "q8dg"):
+        return engine
+    if engine == "auto" and jax.default_backend() != "cpu":
+        return "q8dg"
+    return None
 
 
 def _build_dense_engine(model, variables, tile_size, coords, calib_images,
@@ -294,10 +315,11 @@ def make_stack_tile_infer_step(
 
         dp_spec = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
 
-    if engine in ("q8d", "q8dg") and variables is not None and calib_images is not None:
+    dense_try = _resolve_dense_engine(engine)
+    if dense_try and variables is not None and calib_images is not None:
         built = _build_dense_engine(
             model, variables, tile_size, coords, calib_images,
-            backend="gemm" if engine == "q8dg" else "conv",
+            backend="gemm" if dense_try == "q8dg" else "conv",
         )
         if built is not None:
             dense_probs_fn, tree = built
@@ -316,7 +338,8 @@ def make_stack_tile_infer_step(
                 )
 
             return infer_with_dense
-        engine = {"q8d": "q8", "q8dg": "q8g"}[engine]  # fallback
+        # per-tile fallback when the grid/arch is dense-ineligible
+        engine = {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
 
     fast = None
     if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:

@@ -29,7 +29,10 @@ from cellsegmentation_tpu.train import steps as steps_mod
 from cellsegmentation_tpu.train.trainers import train_stage1, train_stage2
 from cellsegmentation_tpu.utils.logging import RunLogger
 
-HW, TILE, INTERVAL = 48, 16, 8
+# 54/16/8: interval ≡ 0 (mod 4) AND a border-completion tile at bx=38
+# exists, so the SAME fixture gates both the per-tile q8 engine and the
+# dense shared-stem engine (q8dg — what engine="auto" serves on TPU)
+HW, TILE, INTERVAL = 54, 16, 8
 
 
 @pytest.fixture(scope="module")
@@ -47,12 +50,12 @@ def trained_fixture(tmp_path_factory):
     variables = init_variables(model, jax.random.PRNGKey(0))
     logger = RunLogger(str(root), tensorboard=False)
     r1 = train_stage1(
-        model, variables, src, None, epochs=2, batch_size=6, lr=1e-3,
+        model, variables, src, None, epochs=3, batch_size=6, lr=1e-3,
         encoder_name="resnet50", output_dir=None, logger=logger, seed=0,
     )
     r2 = train_stage2(
         model, r1.state.variables, src, None,
-        epochs=3, tile_batch_size=128, image_batch=6,
+        epochs=4, tile_batch_size=128, image_batch=6,
         tile_size=TILE, interval=INTERVAL, tiles_per_pos=2, topk_neg=4,
         pos_neg_ratio=0.5, threshold=0.5, lr=1e-3,
         encoder_name="resnet50", output_dir=None, logger=logger, seed=0,
@@ -62,20 +65,38 @@ def trained_fixture(tmp_path_factory):
     return model, r2.state.variables, src
 
 
-def test_selection_identity_through_mil_cycle(trained_fixture):
+@pytest.mark.parametrize(
+    "engine,err_bound,tie_eps,flip_budget",
+    [
+        # certified engine noise: observed max err ~0.010 (q8); the dense
+        # engine adds the stem/layer1 border approximation on top of int8
+        # noise, so its trained bounds are looser but still selection-safe
+        # (every flip must STILL be a sub-tie_eps numerical tie — the
+        # budget only caps how many ties this flat synthetic fixture may
+        # have; a broken engine fails err_bound/decisive-margin first)
+        ("q8", 0.02, 0.011, 0.10),
+        ("q8dg", 0.06, 0.035, 0.25),
+    ],
+)
+def test_selection_identity_through_mil_cycle(
+    trained_fixture, engine, err_bound, tie_eps, flip_budget, monkeypatch
+):
     """Margin-aware selection identity: every top-k decision whose flax
     margin to the selection boundary exceeds the engine's certified error
     bound must be IDENTICAL; only numerical ties (margin <= the bound) may
     flip. A real q8 regression inflates the prob error past the bound and
     fails both gates; on the real trained net of docs/VALIDATION.md all
     margins are decisive and the selection was bit-identical."""
+    from cellsegmentation_tpu.ops import q8_trunk
+
+    monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)  # CPU interpret mode
     model, variables, src = trained_fixture
     h, w = src.image_hw
     coords = tile_grid(h, w, TILE, INTERVAL)
 
     flax_fn = steps_mod.make_tile_infer_step(model, TILE, coords)
     q8_fn = steps_mod.make_tile_infer_step(
-        model, TILE, coords, variables=variables, engine="q8",
+        model, TILE, coords, variables=variables, engine=engine,
         calib_images=pick_calib_images(src.images),
     )
     p_flax = infer.inference_tiles(
@@ -88,8 +109,9 @@ def test_selection_identity_through_mil_cycle(trained_fixture):
     # gate 1: trained-weights prob fidelity, far tighter than the
     # random-init thresholds in test_infer_engine.py
     err = np.abs(p_q8 - p_flax).max()
-    assert err < 0.02, f"q8 prob error {err:.4f} exceeds the trained bound"
-    tie_eps = 0.011  # certified engine noise: observed max err ~0.010
+    assert err < err_bound, (
+        f"{engine} prob error {err:.4f} exceeds the trained bound"
+    )
 
     labels = np.asarray(src.labels)
     tiles_per_pos, topk_neg = 2, 4
@@ -106,10 +128,10 @@ def test_selection_identity_through_mil_cycle(trained_fixture):
             margin = abs(p_flax[i][t] - boundary)
             assert margin <= tie_eps, (
                 f"img {i}: tile {t} flipped with a DECISIVE flax margin "
-                f"{margin:.4f} > {tie_eps} — q8 ranking corruption"
+                f"{margin:.4f} > {tie_eps} — {engine} ranking corruption"
             )
     # ties must stay rare: a broken engine flips far more than noise does
-    assert n_flips <= 0.1 * p_flax.size, n_flips
+    assert n_flips <= flip_budget * p_flax.size, n_flips
 
     # and the sampler consumes identical probs identically (determinism)
     sel_a = infer.sample_topk(
