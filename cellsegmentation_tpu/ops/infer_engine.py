@@ -510,7 +510,7 @@ def make_fast_tile_logits(
 def make_dense_tile_probs(
     model: MILNet, variables: dict, tile_size: int, interval: int, hw: int,
     calib_tiles: np.ndarray, backend: str = "conv",
-    gemm_first_stage: int = 2,
+    gemm_first_stage: int = 2, gemm_first_block: int = 0,
 ):
     """Dense shared-stem sweep: (head_params, tree, images u8 [G,hw,hw,3],
     flip [G]) -> probs [G, T] in reference tile order.
@@ -522,13 +522,15 @@ def make_dense_tile_probs(
     (backend="gemm", ops/q8_trunk.py). Returns None when the arch or grid
     is unsupported (caller falls back to the per-tile path).
 
-    ``gemm_first_stage`` (backend="gemm" only): trunk stage index where
-    GEMM-land starts. 2 = conv-land through layer2, whole-tile int8 GEMMs
-    for layers 3-4 — layer2's 3x3s stay XLA convs because their whole-tile
-    Toeplitz weights are 7x FLOP-redundant at 8x8 px (measured 4.3 ms for
-    the layer2 c2 GEMM vs ~0.5 conv), while at layer3/4's 4x4/2x2 px the
-    redundancy is affordable and the conv emitter runs 2-5x off its floor.
-    1 = GEMM-land from layer2 (the hybrid c1/proj conv entry).
+    ``gemm_first_stage``/``gemm_first_block`` (backend="gemm" only): the
+    block where GEMM-land starts; everything before it runs as XLA convs.
+    Toeplitz redundancy of the whole-tile 3x3 GEMM is a per-block property
+    of the input spatial size — 7x at layer2-block0's 8x8 px (measured
+    4.3 ms for its c2 GEMM vs ~0.5 conv) but only 1.8x at 4x4 px. The
+    default (2, 0) keeps all of layer2 conv-land and GEMMs layers 3-4;
+    (1, 1) additionally moves layer2 blocks 1-3 into GEMM-land (same seam
+    tensor — a 4x4x512 block output — either way); (1, 0) is the hybrid
+    c1/proj conv entry.
     """
     from cellsegmentation_tpu.data.batches import normalize_images
     from cellsegmentation_tpu.ops.dense_frontend import (
@@ -561,11 +563,15 @@ def make_dense_tile_probs(
             q8_backend_forward,
         )
 
+        # conv-land halves the span at each stage's block0 (stride 2);
+        # with a mid-stage split the first_stage's block0 is conv-land too
+        n_halvings = (gemm_first_stage - 1) + (1 if gemm_first_block else 0)
         gspan = span
-        for _ in range(1, gemm_first_stage):
-            gspan = (gspan + 1) // 2  # each conv-land stage strides 2
+        for _ in range(n_halvings):
+            gspan = (gspan + 1) // 2
         qparams, qmetas = build_q8_backend(
-            trunk, scales, gspan, gspan, first_stage=gemm_first_stage
+            trunk, scales, gspan, gspan,
+            first_stage=gemm_first_stage, first_block=gemm_first_block,
         )
         hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
         tree = (trunk_tree, qparams)
@@ -598,7 +604,7 @@ def make_dense_tile_probs(
         patches = jax.lax.optimization_barrier(patches)
         m0 = patches.shape[0]
 
-        if deep and gemm_first_stage == 1:
+        if deep and gemm_first_stage == 1 and gemm_first_block == 0:
             # hybrid conv->GEMM boundary: the first block's 1x1-reduce and
             # projection run as XLA convs on the 4-D patch tensor (conv-
             # friendly layout), so the whole-tile [N, px*C] retile happens
@@ -637,43 +643,53 @@ def make_dense_tile_probs(
             # pass (3.3 ms at [43200,8,8,256])
             x = patches.astype(jnp.bfloat16)
             fold0 = True
-            conv_end = gemm_first_stage if deep else len(conv_tree[2])
+            if deep:
+                plan = [
+                    (si, bi)
+                    for si in range(1, gemm_first_stage)
+                    for bi in range(len(conv_tree[2][si]))
+                ] + [(gemm_first_stage, bi) for bi in range(gemm_first_block)]
+            else:
+                plan = [
+                    (si, bi)
+                    for si in range(1, len(conv_tree[2]))
+                    for bi in range(len(conv_tree[2][si]))
+                ]
             xq = None
-            for si in range(1, conv_end):
-                stage = conv_tree[2][si]
-                for bi, bw in enumerate(stage):
-                    if fold0:
-                        k = 6 if trunk.kind == "bottleneck" else 4
-                        bw = tuple(
-                            (w.astype(jnp.float32) * s0).astype(jnp.bfloat16)
-                            if wi in (0, k)
-                            else w
-                            for wi, w in enumerate(bw)
-                        )
-                        fold0 = False
-                    stride_b = strides[si] if bi == 0 else 1
-                    # conv-land intra sandwiches stop at _INTRA_STAGES even
-                    # when deep calibration populated h1/h2 everywhere
-                    # (stage-3/4 intra sandwiches measured no gain)
-                    intra = si < _INTRA_STAGES
-                    if trunk.kind == "basic":
-                        x = _conv_basic(
-                            x, bw, stride_b,
-                            s_h1=scales.h1[si][bi] if intra else None,
-                        )
-                    else:
-                        x = _conv_bottleneck(
-                            x, bw, stride_b,
-                            s_h1=scales.h1[si][bi] if intra else None,
-                            s_h2=scales.h2[si][bi] if intra else None,
-                            groups=trunk.groups,
-                        )
-                    if deep and si == conv_end - 1 and bi == len(stage) - 1:
-                        # conv/GEMM depth-split seam: quantize into the
-                        # GEMM entry scale, flatten to whole-tile [N, px*C]
-                        xq = _q8(x, scales.block_out[si][bi])
-                    else:
-                        x = _sandwich(x, scales.block_out[si][bi])
+            for pi, (si, bi) in enumerate(plan):
+                bw = conv_tree[2][si][bi]
+                if fold0:
+                    k = 6 if trunk.kind == "bottleneck" else 4
+                    bw = tuple(
+                        (w.astype(jnp.float32) * s0).astype(jnp.bfloat16)
+                        if wi in (0, k)
+                        else w
+                        for wi, w in enumerate(bw)
+                    )
+                    fold0 = False
+                stride_b = strides[si] if bi == 0 else 1
+                # conv-land intra sandwiches stop at _INTRA_STAGES even
+                # when deep calibration populated h1/h2 everywhere
+                # (stage-3/4 intra sandwiches measured no gain)
+                intra = si < _INTRA_STAGES
+                if trunk.kind == "basic":
+                    x = _conv_basic(
+                        x, bw, stride_b,
+                        s_h1=scales.h1[si][bi] if intra else None,
+                    )
+                else:
+                    x = _conv_bottleneck(
+                        x, bw, stride_b,
+                        s_h1=scales.h1[si][bi] if intra else None,
+                        s_h2=scales.h2[si][bi] if intra else None,
+                        groups=trunk.groups,
+                    )
+                if deep and pi == len(plan) - 1:
+                    # conv/GEMM split seam: quantize into the GEMM entry
+                    # scale, flatten to whole-tile [N, px*C]
+                    xq = _q8(x, scales.block_out[si][bi])
+                else:
+                    x = _sandwich(x, scales.block_out[si][bi])
             if deep:
                 xq = xq.reshape(m0, -1)
                 pad = (-m0) % TILE_ALIGN

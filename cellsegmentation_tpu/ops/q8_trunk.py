@@ -93,16 +93,17 @@ class QBlockMeta:
 
 
 def build_q8_backend(folded, scales, h_in: int, w_in: int,
-                     first_stage: int = 1):
+                     first_stage: int = 1, first_block: int = 0):
     """(FoldedTrunk, deep TrunkScales, stage input spatial) ->
     (params pytree, [QBlockMeta]) for layers ``first_stage+1``..4.
 
     ``scales`` must be calibrated with deep=True (h1/h2 at every stage +
-    proj + block_out); ``h_in`` x ``w_in`` is the input patch size at
-    stage ``first_stage`` (layer1-out 8x8 for 32-tiles when first_stage=1;
-    layer2-out 4x4 when first_stage=2 — the conv/GEMM depth split that
-    keeps layer2's 3x3s, whose whole-tile Toeplitz weights are 7x
-    FLOP-redundant at 8x8 px, in XLA conv-land).
+    proj + block_out); ``h_in`` x ``w_in`` is the input patch size of the
+    FIRST INCLUDED block — (first_stage, first_block). The split is
+    block-granular because Toeplitz redundancy is a per-block property of
+    the input spatial size: layer2 block0's 3x3 at 8x8 px is 7x
+    FLOP-redundant as a whole-tile GEMM (stays in XLA conv-land), while
+    blocks 1-3 at 4x4 px are only 1.8x redundant and win as GEMMs.
     """
     params: List[dict] = []
     metas: List[QBlockMeta] = []
@@ -111,6 +112,8 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
     for si in range(first_stage, n_stages):
         stride = folded.strides[si]
         for bi, ws in enumerate(folded.stages[si]):
+            if si == first_stage and bi < first_block:
+                continue
             blk_stride = stride if bi == 0 else 1
             w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
             has_proj = len(ws) == 8

@@ -118,6 +118,51 @@ def test_dense_ranking_matches_flax(engine, monkeypatch):
     assert np.abs(p - p_ref).max() < 0.05
 
 
+@pytest.mark.parametrize("split", [(1, 1), (1, 0)])
+def test_gemm_split_variants_match_flax(split, monkeypatch):
+    """The conv/GEMM split is block-granular (ops/q8_trunk.py): every
+    supported split point must preserve ranking fidelity vs the flax path.
+    The default (2, 0) is covered by the q8dg tests above; this pins the
+    deeper GEMM entries — (1, 1) = layer2 blocks 1-3 in GEMM-land, (1, 0)
+    = the hybrid c1/proj conv entry."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops import q8_trunk
+    from cellsegmentation_tpu.ops.infer_engine import (
+        calib_tiles_from_images, make_dense_tile_probs,
+    )
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)
+
+    tile, interval, hw, g = 32, 20, 150, 2
+    model = build_model("resnet50")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    imgs = _structured_images(hw, g)
+    flip0 = np.zeros((g,), np.int32)
+
+    ref_fn = steps_mod.make_tile_infer_step(model, tile, coords)
+    p_ref = np.asarray(
+        ref_fn(variables, jnp.asarray(imgs), jnp.asarray(flip0))
+    ).ravel()
+
+    calib = calib_tiles_from_images(imgs, coords, tile)  # normalized tiles
+    fn, tree = make_dense_tile_probs(
+        model, variables, tile, interval, hw, calib, backend="gemm",
+        gemm_first_stage=split[0], gemm_first_block=split[1],
+    )
+    head = variables["params"]["fc_tile"]
+    p = np.asarray(
+        jax.jit(fn)(head, tree, jnp.asarray(imgs), None)
+    ).ravel()
+
+    from scipy.stats import spearmanr
+
+    assert spearmanr(p_ref, p).statistic > 0.8
+    assert np.abs(p - p_ref).max() < 0.05
+
+
 @pytest.mark.parametrize("engine", ["q8d", "q8dg"])
 def test_dense_noflip_graph_matches(engine, monkeypatch):
     """Host all-zero flip arrays dispatch the specialized flip-free graph
