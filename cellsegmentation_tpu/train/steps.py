@@ -324,12 +324,38 @@ def make_stack_tile_infer_step(
         if built is not None:
             dense_probs_fn, tree = built
 
-            @jax.jit
-            def infer_dense_stack(head_params, tree, images_stack, idx, flip):
-                imgs = jnp.take(images_stack, idx, axis=0)
-                if dp_spec is not None:
+            if mesh is not None:
+                # The dense graph ends in Pallas GEMM custom calls, which
+                # the SPMD partitioner cannot split on its own (a bare
+                # sharding constraint would make it replicate the full
+                # sweep per chip). Every row of the sweep is per-image
+                # independent, so shard_map over the data axis is exact:
+                # each chip runs the whole dense graph on its local image
+                # shard (per-shard TILE_ALIGN padding included).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+
+                sharded_probs = shard_map(
+                    dense_probs_fn, mesh=mesh,
+                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False,
+                )
+
+                @jax.jit
+                def infer_dense_stack(head_params, tree, images_stack, idx,
+                                      flip):
+                    imgs = jnp.take(images_stack, idx, axis=0)
                     imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
-                return dense_probs_fn(head_params, tree, imgs, flip)
+                    return sharded_probs(head_params, tree, imgs, flip)
+            else:
+                @jax.jit
+                def infer_dense_stack(head_params, tree, images_stack, idx,
+                                      flip):
+                    imgs = jnp.take(images_stack, idx, axis=0)
+                    return dense_probs_fn(head_params, tree, imgs, flip)
 
             def infer_with_dense(variables_in, images_stack, idx, flip):
                 return infer_dense_stack(

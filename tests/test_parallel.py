@@ -161,6 +161,54 @@ class TestStackSweepSharding:
         )
 
 
+class TestDenseStackSweepSharding:
+    def test_dense_gemm_sweep_on_mesh_matches_unsharded(self, rng, monkeypatch):
+        """The dense shared-stem int8-GEMM sweep (engine="auto" on real
+        accelerators) ends in Pallas custom calls the SPMD partitioner can't
+        split, so make_stack_tile_infer_step wraps it in shard_map over the
+        data axis. Each chip must sweep only its image shard, and the
+        sharded result must equal the unsharded dense engine's."""
+        from cellsegmentation_tpu.ops import q8_trunk
+        from cellsegmentation_tpu.ops.tiles import tile_grid
+
+        monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)  # CPU interpret mode
+
+        hw, ts, interval, g = 54, 16, 8, 8
+        model = build_model("resnet50")
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        mesh = make_mesh(data=4, model=2)
+        images = rng.integers(0, 255, size=(10, hw, hw, 3), dtype=np.uint8)
+        stack = replicate_tree(mesh, images)
+        coords = tile_grid(hw, hw, ts, interval)
+        flip = np.asarray([0, 3, 1, 2, 0, 0, 3, 0], np.int32)
+
+        sweep = steps.make_stack_tile_infer_step(
+            model, ts, coords, mesh, variables=variables, engine="q8dg",
+            calib_images=images[:2],
+        )
+        batch = shard_batch(
+            mesh, {"idx": np.arange(g, dtype=np.int32), "flip": flip}
+        )
+        vars_r = replicate_tree(
+            mesh, jax.tree_util.tree_map(np.asarray, variables)
+        )
+        probs = sweep(vars_r, stack, batch["idx"], batch["flip"])
+        assert probs.shape == (g, coords.shape[0])
+        # dp over the 4-way data axis: each addressable shard holds g/4 rows
+        row_counts = {s.data.shape[0] for s in probs.addressable_shards}
+        assert row_counts == {2}
+
+        # numerics match the same engine without a mesh
+        plain = steps.make_tile_infer_step(
+            model, ts, coords, variables=variables, engine="q8dg",
+            calib_images=images[:2],
+        )
+        expected = plain(variables, jnp.asarray(images[:g]), flip)
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(expected), rtol=0, atol=2e-3
+        )
+
+
 class TestEnsembleMeshInProcess:
     def test_ensemble_folds_on_tp_mesh(self, tmp_path):
         """A fleet of per-fold models trained in-process on the (4,2) dp+tp
