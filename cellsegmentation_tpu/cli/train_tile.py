@@ -35,9 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("-n", "--topk_neg", type=int, default=30)
     parser.add_argument("-R", "--pos_neg_ratio", type=float, default=0.5)
     parser.add_argument("-c", "--threshold", type=float, default=0.95)
-    parser.add_argument("--infer_engine", choices=("auto", "q8", "flax"),
+    parser.add_argument("--infer_engine",
+                        choices=("auto", "q8", "q8g", "q8d", "q8dg", "flax"),
                         default="auto",
-                        help="dense-sweep engine (auto: q8 when foldable)")
+                        help="dense-sweep engine (auto: the fastest "
+                             "validated chain the grid/arch supports)")
     return parser
 
 

@@ -83,8 +83,8 @@ class FoldedTrunk:
 
 def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
     """Fold a ResNet-family MILNet encoder (Bottleneck incl. grouped
-    ResNeXt, BasicBlock); None for EfficientNet (flax fallback — its MBConv
-    stack has per-block stochastic depth and SE gates that don't fold)."""
+    ResNeXt, BasicBlock); None for EfficientNet, whose MBConv stack folds
+    through its own walk (ops/effnet_engine.py)."""
     enc = model.encoder
     if not isinstance(enc, ResNetEncoder):
         return None
@@ -448,7 +448,9 @@ def make_fast_tile_logits(
     residuals fused in epilogues, every inter-op tensor int8 in HBM."""
     trunk = fold_tile_trunk(model, variables)
     if trunk is None:
-        return None
+        # EfficientNet folds through its own MBConv walk (conv backend
+        # only); any other arch falls back to the flax path (None)
+        return _make_effnet_fast_logits(model, variables, calib_tiles)
 
     strides = tuple(trunk.strides)
     trunk_tree = trunk.tree()
@@ -505,6 +507,33 @@ def make_fast_tile_logits(
         return _head_logits(head_params, x4)
 
     return fast_logits, trunk_tree
+
+
+def _make_effnet_fast_logits(model, variables, calib_tiles):
+    """EfficientNet branch of make_fast_tile_logits (ops/effnet_engine.py):
+    folded MBConv trunk + int8 sandwiches on the inter-block tensors."""
+    from cellsegmentation_tpu.ops.effnet_engine import (
+        calibrate_effnet,
+        effnet_forward,
+        fold_effnet_trunk,
+    )
+
+    trunk = fold_effnet_trunk(model, variables)
+    if trunk is None:
+        return None
+    scales = (
+        calibrate_effnet(trunk, np.asarray(calib_tiles, np.float32))
+        if calib_tiles is not None
+        else None
+    )
+    metas = trunk.metas
+    tree = trunk.tree()
+
+    def fast_logits(head_params, tree, x):
+        x4 = effnet_forward(tree, metas, x, scales=scales)
+        return _head_logits(head_params, x4)
+
+    return fast_logits, tree
 
 
 def make_dense_tile_probs(

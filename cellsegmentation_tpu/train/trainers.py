@@ -195,7 +195,8 @@ def train_stage1(
             )
             logger.scalars({f"image/{k}": v for k, v in means.items()}, epoch)
 
-            if val_source is not None and epoch % test_every == 0:
+            if (val_source is not None and len(val_source) > 0
+                    and epoch % test_every == 0):
                 categories, counts = infer.inference_image(
                     val_source, infer_fn, state.variables, batch_size=batch_size
                 )
@@ -488,7 +489,8 @@ def train_stage2(
             logger.csv_row("tile-training", ["epoch", "tile_loss"], [epoch, loss])
             logger.scalar("tile/loss", loss, epoch)
 
-            if val_source is not None and epoch % test_every == 0:
+            if (val_source is not None and len(val_source) > 0
+                    and epoch % test_every == 0):
                 val_probs = infer.inference_tiles(
                     val_source, infer_fn, state.variables, tile_size, interval,
                     image_batch=image_batch,

@@ -83,17 +83,13 @@ def test_q8_engine_ranking_fidelity(resnet50_small):
     assert np.corrcoef(rank_g, rank_w)[0, 1] > 0.85
 
 
-def test_engine_rejects_unsupported_archs():
-    model = build_model("efficientnet_b0", policy=F32_POLICY)
-    variables = init_variables(model, jax.random.PRNGKey(0))
-    assert infer_engine.make_fast_tile_logits(model, variables) is None
-
-
-@pytest.mark.parametrize("arch", ["resnet18", "resnext50_32x4d"])
+@pytest.mark.parametrize("arch", ["resnet18", "resnext50_32x4d",
+                                  "efficientnet_b0"])
 def test_engine_folds_basic_and_grouped(arch):
-    """Round-3 extension (VERDICT #4): BasicBlock and grouped-Bottleneck
-    trunks get the folded fast path too, with ranking fidelity held
-    (reference archs: model/resnet.py:22-49, model/resnext.py:418-442)."""
+    """Round-3 extension (VERDICT #4): BasicBlock, grouped-Bottleneck and
+    MBConv trunks get the folded fast path too, with ranking fidelity held
+    (reference archs: model/resnet.py:22-49, model/resnext.py:418-442,
+    model/efficientnet.py:81-122 — ops/effnet_engine.py)."""
     model = build_model(arch, policy=F32_POLICY)
     variables = init_variables(model, jax.random.PRNGKey(0))
     got, want = _engine_and_ref_probs(model, variables, calibrated=True)
