@@ -147,8 +147,21 @@ def main() -> None:
                        "encoder": args.encoder}, f)
     elif args.quick and args.encoder == "resnet50" and os.path.exists(REF_PATH):
         with open(REF_PATH) as f:
-            ref = json.load(f)["value"]
-        if gate_fails(images_per_sec, ref):
+            ref_rec = json.load(f)
+        ref = ref_rec["value"]
+        # the gate only means something when this run used the same chain
+        # the reference was recorded with (a flax-recorded ref would let a
+        # 25% q8dg regression pass silently)
+        if (ref_rec.get("engine", args.engine) != args.engine
+                or ref_rec.get("encoder", "resnet50") != args.encoder):
+            print(
+                f"gate skipped: BENCH_REF.json was recorded with "
+                f"engine={ref_rec.get('engine')}/encoder="
+                f"{ref_rec.get('encoder', 'resnet50')}, this run is "
+                f"{args.engine}/{args.encoder}",
+                file=sys.stderr,
+            )
+        elif gate_fails(images_per_sec, ref):
             print(
                 f"REGRESSION: {images_per_sec:.0f} img/s < "
                 f"{GATE_FRACTION:.0%} of recorded {ref:.0f} img/s",

@@ -33,9 +33,18 @@ def evaluate_tile(
 def evaluate_image(
     labels: np.ndarray, categories: np.ndarray, counts: np.ndarray
 ) -> tuple[float, float, float]:
-    """Returns (mAP placeholder 0, MSE, QWK) like the reference."""
+    """Returns (mAP placeholder 0, MSE, QWK) like the reference.
+
+    The QWK confusion matrix is (max rating)² — a diverged regressor
+    emitting a huge count would make it unallocatable, so counts are
+    clipped to 2x the label range (min 500) for the kappa only. Any
+    prediction past that cap is already in maximal-disagreement territory,
+    and MSE (reported unclipped) carries the divergence signal."""
     counts = np.asarray(counts, dtype=np.float64)
     labels = np.asarray(labels, dtype=np.float64)
     mse = float(np.mean((counts - labels) ** 2))
-    score = quadratic_weighted_kappa(counts.astype(int), labels.astype(int))
+    cap = max(500, 2 * int(labels.max(initial=0)))
+    score = quadratic_weighted_kappa(
+        counts.clip(0, cap).astype(int), labels.astype(int)
+    )
     return 0.0, mse, score

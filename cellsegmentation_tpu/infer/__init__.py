@@ -64,7 +64,13 @@ def inference_image(
         regs = np.asarray(regs)
         keep = sel[valid]
         cat = probs.argmax(axis=1)[valid]
-        cnt = np.round(regs[valid]).astype(np.int64)
+        # a diverged regressor (nan/inf/absurd counts) must not poison the
+        # downstream eval: QWK sizes its confusion matrix by max(count), so
+        # an unclamped cast here turns one bad batch into a crash. 10^6 is
+        # far past any LYSTO count (top bin: >200) — sane paths unchanged.
+        cnt = np.round(
+            np.nan_to_num(regs[valid], nan=0.0, posinf=1e6, neginf=0.0)
+        ).clip(0, 1e6).astype(np.int64)
         categories[keep] = cat
         counts[keep] = cnt
         idx_chunks.append(keep)

@@ -88,7 +88,17 @@ def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
     enc = model.encoder
     if not isinstance(enc, ResNetEncoder):
         return None
-    kind = "bottleneck" if enc.block_cls is Bottleneck else "basic"
+    from cellsegmentation_tpu.models.resnet import BasicBlock
+
+    if enc.block_cls is Bottleneck:
+        kind = "bottleneck"
+    elif enc.block_cls is BasicBlock and int(enc.groups) == 1:
+        # _conv_basic has no grouped path; an unknown block class must NOT
+        # be folded with a guessed layout — fall back to the exact flax
+        # graph instead of serving silently-wrong probs
+        kind = "basic"
+    else:
+        return None
     n_convs = 3 if kind == "bottleneck" else 2
 
     params = variables["params"]["encoder"]

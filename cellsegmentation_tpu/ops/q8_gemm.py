@@ -231,7 +231,12 @@ def q8_matmul_px(
     arithmetic, Mosaic-safe.
     """
     m = x.shape[0]
-    c_in = c_in or x.shape[1] // px
+    if c_in is None:
+        # with a strided px_map the input carries stride^2 more pixel
+        # groups than px (the OUTPUT group count) — the default would tile
+        # the wrong column width, so the caller must say what C is
+        assert px_map is None, "px_map requires an explicit c_in"
+        c_in = x.shape[1] // px
     n_out = w.shape[1]
 
     def fits(c):  # double-buffered in/out/res blocks (int8) + f32 epilogue

@@ -32,7 +32,11 @@ def make_schedule(
     if name is None:
         return lambda step: base_lr
     if name == "OneCycleLR":
-        total = epochs * steps_per_epoch
+        # optax's onecycle builds a piecewise interpolation whose warmup
+        # interval is int(pct_start*total); below 4 total steps it is
+        # empty and the 0/0 makes the schedule nan at EVERY step (debug
+        # runs then nan-train silently)
+        total = max(epochs * steps_per_epoch, 4)
         return optax.cosine_onecycle_schedule(
             transition_steps=total,
             peak_value=base_lr,

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any
 
 import flax.struct
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -51,6 +52,13 @@ class MILTrainState(flax.struct.PyTreeNode):
     batch_stats: Any
     opt_state: Any
     tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+    # LR schedule applied at ``step`` (the optimizer core runs at lr=1.0).
+    # Driving the schedule from state.step — instead of optax's internal
+    # ScaleBySchedule count — makes the trainers' epoch-boundary/resume
+    # step realignments actually move the LR position (stage-2's selection
+    # size varies per epoch, so its real batch count drifts from the
+    # nominal the schedule was sized with).
+    schedule: Any = flax.struct.field(pytree_node=False, default=None)
 
     @property
     def variables(self) -> dict:
@@ -58,6 +66,14 @@ class MILTrainState(flax.struct.PyTreeNode):
 
     def apply_gradients(self, grads: Any, new_batch_stats: Any) -> "MILTrainState":
         updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        if self.schedule is not None:
+            # sgd/adam are chain(..., scale_by_learning_rate(lr)): the lr
+            # multiply commutes out of the chain, so scaling the unit-lr
+            # updates here is bit-identical math to baking lr in
+            lr = jnp.asarray(self.schedule(self.step), jnp.float32)
+            updates = jax.tree_util.tree_map(
+                lambda u: (u.astype(jnp.float32) * lr).astype(u.dtype), updates
+            )
         new_params = optax.apply_updates(self.params, updates)
         return self.replace(
             step=self.step + 1,
@@ -69,24 +85,28 @@ class MILTrainState(flax.struct.PyTreeNode):
 
 def make_optimizer(
     stage: str,
-    schedule: optax.Schedule,
     params: Any,
     use_sgd: bool = False,
     weight_decay: float = 1e-4,
     momentum: float = 0.9,
 ) -> optax.GradientTransformation:
-    """Per-stage masked optimizer (frozen partitions get zero updates)."""
+    """Per-stage masked optimizer (frozen partitions get zero updates).
+
+    Runs at unit learning rate: MILTrainState.apply_gradients multiplies
+    the updates by schedule(state.step), so the schedule position is the
+    state's step counter (realignable at epoch boundaries / resume), not
+    an optax-internal count."""
     trainable = set(stage_trainable_partitions(stage))
 
     if use_sgd:
         core = optax.chain(
             optax.add_decayed_weights(weight_decay),
-            optax.sgd(schedule, momentum=momentum),
+            optax.sgd(1.0, momentum=momentum),
         )
     else:
         core = optax.chain(
             optax.add_decayed_weights(weight_decay),
-            optax.adam(schedule),
+            optax.adam(1.0),
         )
 
     labels = {k: ("train" if k in trainable else "freeze") for k in params.keys()}
@@ -103,11 +123,12 @@ def create_train_state(
     use_sgd: bool = False,
     weight_decay: float = 1e-4,
 ) -> MILTrainState:
-    tx = make_optimizer(stage, schedule, params, use_sgd, weight_decay)
+    tx = make_optimizer(stage, params, use_sgd, weight_decay)
     return MILTrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
         batch_stats=batch_stats,
         opt_state=tx.init(params),
         tx=tx,
+        schedule=schedule,
     )

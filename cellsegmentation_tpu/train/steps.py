@@ -166,37 +166,32 @@ def make_tile_infer_step(
 
     coords = np.asarray(coords)
 
-    dense_try = _resolve_dense_engine(engine)
-    if dense_try and variables is not None and calib_images is not None:
-        built = _build_dense_engine(
-            model, variables, tile_size, coords, calib_images,
-            backend="gemm" if dense_try == "q8dg" else "conv",
-        )
-        if built is not None:
-            dense_probs_fn, tree = built
+    built, engine = _try_dense_engine(
+        model, tile_size, coords, engine, variables, calib_images
+    )
+    if built is not None:
+        dense_probs_fn, tree = built
 
-            @jax.jit
-            def infer_dense(head_params, tree, images, flip):
-                return dense_probs_fn(head_params, tree, images, flip)
+        @jax.jit
+        def infer_dense(head_params, tree, images, flip):
+            return dense_probs_fn(head_params, tree, images, flip)
 
-            @jax.jit
-            def infer_dense_noflip(head_params, tree, images):
-                return dense_probs_fn(head_params, tree, images, None)
+        @jax.jit
+        def infer_dense_noflip(head_params, tree, images):
+            return dense_probs_fn(head_params, tree, images, None)
 
-            def infer_with_dense(variables_in, images, flip):
-                head = variables_in["params"]["fc_tile"]
-                # flip-free batches (val/test sweeps, pseudo-mask drawing,
-                # bench) take the specialized graph: no whole-image
-                # reverse, no double-read selects. Callers pass host flip
-                # arrays so this check costs no device fetch.
-                f = flip if isinstance(flip, np.ndarray) else np.asarray(flip)
-                if not f.any():
-                    return infer_dense_noflip(head, tree, images)
-                return infer_dense(head, tree, images, flip)
+        def infer_with_dense(variables_in, images, flip):
+            head = variables_in["params"]["fc_tile"]
+            # flip-free batches (val/test sweeps, pseudo-mask drawing,
+            # bench) take the specialized graph: no whole-image
+            # reverse, no double-read selects. Callers pass host flip
+            # arrays so this check costs no device fetch.
+            f = flip if isinstance(flip, np.ndarray) else np.asarray(flip)
+            if not f.any():
+                return infer_dense_noflip(head, tree, images)
+            return infer_dense(head, tree, images, flip)
 
-            return infer_with_dense
-        # per-tile fallback when the grid/arch is dense-ineligible
-        engine = {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
+        return infer_with_dense
 
     if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:
         from cellsegmentation_tpu.ops.infer_engine import (
@@ -253,6 +248,28 @@ def _resolve_dense_engine(engine):
     if engine == "auto" and jax.default_backend() != "cpu":
         return "q8dg"
     return None
+
+
+def _try_dense_engine(model, tile_size, coords, engine, variables,
+                      calib_images):
+    """Shared dense-engine resolution for both step factories.
+
+    Returns ``(built, engine)``: ``built`` is the (dense_probs_fn, tree)
+    pair when the request resolves to a dense engine AND the grid/arch
+    supports it; otherwise None with ``engine`` remapped to the per-tile
+    fallback chain.
+    """
+    dense_try = _resolve_dense_engine(engine)
+    if dense_try and variables is not None and calib_images is not None:
+        built = _build_dense_engine(
+            model, variables, tile_size, coords, calib_images,
+            backend="gemm" if dense_try == "q8dg" else "conv",
+        )
+        if built is not None:
+            return built, engine
+        # per-tile fallback when the grid/arch is dense-ineligible
+        return None, {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
+    return None, engine
 
 
 def _build_dense_engine(model, variables, tile_size, coords, calib_images,
@@ -315,57 +332,52 @@ def make_stack_tile_infer_step(
 
         dp_spec = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
 
-    dense_try = _resolve_dense_engine(engine)
-    if dense_try and variables is not None and calib_images is not None:
-        built = _build_dense_engine(
-            model, variables, tile_size, coords, calib_images,
-            backend="gemm" if dense_try == "q8dg" else "conv",
-        )
-        if built is not None:
-            dense_probs_fn, tree = built
+    built, engine = _try_dense_engine(
+        model, tile_size, coords, engine, variables, calib_images
+    )
+    if built is not None:
+        dense_probs_fn, tree = built
 
-            if mesh is not None:
-                # The dense graph ends in Pallas GEMM custom calls, which
-                # the SPMD partitioner cannot split on its own (a bare
-                # sharding constraint would make it replicate the full
-                # sweep per chip). Every row of the sweep is per-image
-                # independent, so shard_map over the data axis is exact:
-                # each chip runs the whole dense graph on its local image
-                # shard (per-shard TILE_ALIGN padding included).
-                from jax import shard_map
-                from jax.sharding import PartitionSpec as P
+        if mesh is not None:
+            # The dense graph ends in Pallas GEMM custom calls, which
+            # the SPMD partitioner cannot split on its own (a bare
+            # sharding constraint would make it replicate the full
+            # sweep per chip). Every row of the sweep is per-image
+            # independent, so shard_map over the data axis is exact:
+            # each chip runs the whole dense graph on its local image
+            # shard (per-shard TILE_ALIGN padding included).
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
 
-                from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+            from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
 
-                sharded_probs = shard_map(
-                    dense_probs_fn, mesh=mesh,
-                    in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
-                    out_specs=P(DATA_AXIS),
-                    check_vma=False,
-                )
+            sharded_probs = shard_map(
+                dense_probs_fn, mesh=mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
 
-                @jax.jit
-                def infer_dense_stack(head_params, tree, images_stack, idx,
-                                      flip):
-                    imgs = jnp.take(images_stack, idx, axis=0)
-                    imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
-                    return sharded_probs(head_params, tree, imgs, flip)
-            else:
-                @jax.jit
-                def infer_dense_stack(head_params, tree, images_stack, idx,
-                                      flip):
-                    imgs = jnp.take(images_stack, idx, axis=0)
-                    return dense_probs_fn(head_params, tree, imgs, flip)
+            @jax.jit
+            def infer_dense_stack(head_params, tree, images_stack, idx,
+                                  flip):
+                imgs = jnp.take(images_stack, idx, axis=0)
+                imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
+                return sharded_probs(head_params, tree, imgs, flip)
+        else:
+            @jax.jit
+            def infer_dense_stack(head_params, tree, images_stack, idx,
+                                  flip):
+                imgs = jnp.take(images_stack, idx, axis=0)
+                return dense_probs_fn(head_params, tree, imgs, flip)
 
-            def infer_with_dense(variables_in, images_stack, idx, flip):
-                return infer_dense_stack(
-                    variables_in["params"]["fc_tile"], tree,
-                    images_stack, idx, flip,
-                )
+        def infer_with_dense(variables_in, images_stack, idx, flip):
+            return infer_dense_stack(
+                variables_in["params"]["fc_tile"], tree,
+                images_stack, idx, flip,
+            )
 
-            return infer_with_dense
-        # per-tile fallback when the grid/arch is dense-ineligible
-        engine = {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
+        return infer_with_dense
 
     fast = None
     if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:

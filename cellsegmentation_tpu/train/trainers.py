@@ -442,9 +442,10 @@ def train_stage2(
             # peak placement and epoch-stepped schedules stay exact (the
             # reference steps per real batch over a scheduler sized from the
             # FIRST epoch's loader, train_tile.py:293 + train/train.py:38-45
-            # — same within-epoch semantics, no cumulative drift). Safe:
-            # stage-2
-            # optimizers (SGD+momentum / Adam-no-schedule) are step-free.
+            # — same within-epoch semantics, no cumulative drift). The LR is
+            # schedule(state.step) by construction — apply_gradients scales
+            # unit-lr optimizer updates (train/state.py) — so this realign
+            # IS the schedule position.
             state = state.replace(
                 step=jnp.asarray((epoch - 1) * nominal_steps, jnp.int32)
             )

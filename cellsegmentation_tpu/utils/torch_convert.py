@@ -236,11 +236,13 @@ def validate_torchvision_state_dict(arch: str, sd: Mapping) -> list[str]:
             f"{len(extra)} unexpected key(s): "
             + ", ".join(extra[:8]) + ("..." if len(extra) > 8 else "")
         )
-    sd_keys = {k for k in sd if not k.endswith("num_batches_tracked")}
-    if missing or extra or any(
-        k in sd and tuple(np.asarray(sd[k]).shape) != want
+    shape_mismatches = [
+        (k, tuple(np.asarray(sd[k]).shape), want)
         for k, want in schema.items()
-    ):
+        if k in sd and tuple(np.asarray(sd[k]).shape) != want
+    ]
+    if missing or extra or shape_mismatches:
+        sd_keys = {k for k in sd if not k.endswith("num_batches_tracked")}
         for other in _ARCHS:
             if other == arch:
                 continue
@@ -254,11 +256,8 @@ def validate_torchvision_state_dict(arch: str, sd: Mapping) -> list[str]:
                     f"wrong --arch?"
                 )
                 break
-    for k, want in schema.items():
-        if k in sd:
-            got = tuple(np.asarray(sd[k]).shape)
-            if got != want:
-                problems.append(f"shape mismatch {k}: got {got}, want {want}")
+    for k, got, want in shape_mismatches:
+        problems.append(f"shape mismatch {k}: got {got}, want {want}")
     return problems
 
 

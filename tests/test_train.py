@@ -185,11 +185,53 @@ class TestStage3Step:
 
 
 class TestSchedules:
+    def test_apply_gradients_lr_follows_state_step(self):
+        """The applied update must be schedule(state.step)·grad — the
+        optimizer core runs at unit lr and apply_gradients scales by the
+        state's step (train/state.py), so the trainers' epoch-boundary and
+        resume step realignments genuinely move the LR position (an
+        optax-internal schedule count would ignore them)."""
+        from cellsegmentation_tpu.train.state import create_train_state
+
+        sched = lambda s: jnp.where(s < 3, 0.5, 0.125)  # noqa: E731
+        params = {
+            "fc_tile": {"w": jnp.zeros((4,), jnp.float32)},
+            "encoder": {"w": jnp.zeros((4,), jnp.float32)},
+        }
+        state = create_train_state(
+            params, {}, "tile", sched, use_sgd=True, weight_decay=0.0
+        )
+        g = {
+            "fc_tile": {"w": jnp.ones((4,), jnp.float32)},
+            "encoder": {"w": jnp.ones((4,), jnp.float32)},
+        }
+        s1 = state.apply_gradients(g, {})
+        # step 0: lr 0.5 (momentum trace == grad on the first step)
+        np.testing.assert_allclose(np.asarray(s1.params["fc_tile"]["w"]),
+                                   -0.5, rtol=1e-6)
+        # frozen partition: no update
+        np.testing.assert_allclose(np.asarray(s1.params["encoder"]["w"]), 0.0)
+        # realigning the step counter moves the LR (fresh state: no trace)
+        state2 = state.replace(step=jnp.asarray(7, jnp.int32))
+        s2 = state2.apply_gradients(g, {})
+        np.testing.assert_allclose(np.asarray(s2.params["fc_tile"]["w"]),
+                                   -0.125, rtol=1e-6)
+
     def test_onecycle_peaks_at_lr(self):
         sched = make_schedule("OneCycleLR", 1e-3, epochs=10, steps_per_epoch=10)
         vals = [float(sched(s)) for s in range(100)]
         assert max(vals) == pytest.approx(1e-3, rel=1e-2)
         assert vals[0] == pytest.approx(1e-3 / 25.0, rel=1e-2)
+
+    def test_onecycle_finite_at_tiny_totals(self):
+        """optax's onecycle has an empty warmup interval below 4 total
+        steps (int(0.3*total) == 0) and returns nan at EVERY step — a
+        1-epoch debug run would silently nan-train without the clamp."""
+        for epochs, spe in [(1, 1), (1, 3), (2, 1)]:
+            sched = make_schedule("OneCycleLR", 1e-3, epochs, spe)
+            assert all(np.isfinite(float(sched(s))) for s in range(5)), (
+                epochs, spe
+            )
 
     def test_exponential_steps_per_epoch(self):
         sched = make_schedule("ExponentialLR", 1.0, epochs=5, steps_per_epoch=7)
