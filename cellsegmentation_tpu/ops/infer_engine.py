@@ -43,6 +43,12 @@ from cellsegmentation_tpu.models.resnet import Bottleneck, ResNetEncoder
 _SANDWICH_STAGES = 4
 _INTRA_STAGES = 2
 
+# Stem formulation switches (perf experiment knobs, bit-identical math):
+# "s2d" packs the 3-channel 7x7/s2 stem into a 12-channel 4x4/s1 conv;
+# "shift" replaces the reduce_window maxpool with 9 strided-slice maxes.
+_STEM_IMPL = "conv"  # "conv" | "s2d"
+_POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
+
 
 def fold_conv_bn(kernel, scale, bias, mean, var, eps: float = 1e-5):
     """conv(x, w) -> BN  ≡  conv(x, w·g) + (b - m·g), g = γ/√(σ²+ε)."""
@@ -150,6 +156,61 @@ def _conv_bias_relu(x, w, b, stride: int, padding):
     return jnp.maximum(y + b.astype(jnp.bfloat16), 0)
 
 
+def _stem_s2d(x, w, b):
+    """7x7/s2 pad-3 stem conv as space-to-depth + 4x4/s1 VALID conv.
+
+    y[p] = sum_k w[k] x[2p+k-3] with k = 2a+b becomes a stride-1 conv over
+    2x2-packed input planes: 3 input channels at C_in=3 are MXU-hostile
+    (the K dim of the implied GEMM is 7*3=21 per row); packing lifts K to
+    4*4*12. Bit-identical output (same taps, same zero padding).
+    """
+    g, h, wd, c = x.shape
+    kh = w.shape[0]  # 7
+    # pad so every tap index 2p+k-3 lands inside, and the size is even
+    ph = (3, 4 + ((h + 1) % 2))  # 3 + h + r must be even
+    pw = (3, 4 + ((wd + 1) % 2))
+    xp = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    xs = xp.reshape(g, hp // 2, 2, wp // 2, 2, c)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(g, hp // 2, wp // 2, 4 * c)
+    k2 = jnp.zeros((4, 4, 4 * c, w.shape[-1]), w.dtype)
+    for ky in range(kh):
+        for kx in range(kh):
+            a1, b1 = ky // 2, ky % 2
+            a2, b2 = kx // 2, kx % 2
+            k2 = k2.at[a1, a2, (b1 * 2 + b2) * c : (b1 * 2 + b2 + 1) * c].set(
+                w[ky, kx]
+            )
+    ho = (h + 2 * 3 - kh) // 2 + 1
+    y = jax.lax.conv_general_dilated(
+        xs, k2.astype(jnp.bfloat16), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.bfloat16,
+    )[:, :ho, :ho]
+    return jnp.maximum(y + b.astype(jnp.bfloat16), 0)
+
+
+def _maxpool3s2_shift(x):
+    """3x3/s2 pad-1 maxpool as an elementwise max of 9 strided slices —
+    the layout-safe formulation when reduce_window goes pathological
+    (docs/PERF.md round-2 map #4)."""
+    g, h, w, c = x.shape
+    ho = (h - 1) // 2 + 1
+    wo = (w - 1) // 2 + 1
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)),
+                 constant_values=x.dtype.type(-jnp.inf) if
+                 jnp.issubdtype(x.dtype, jnp.floating) else 0)
+    out = None
+    for dy in range(3):
+        for dx in range(3):
+            s = jax.lax.slice(
+                xp, (0, dy, dx, 0),
+                (g, dy + 2 * ho - 1, dx + 2 * wo - 1, c), (1, 2, 2, 1),
+            )
+            out = s if out is None else jnp.maximum(out, s)
+    return out
+
+
 def _q8(x, scale: float):
     """bf16 -> int8 HBM form (fuses into the producer's epilogue)."""
     return jnp.clip(
@@ -241,11 +302,17 @@ def trunk_forward(
     ``n_stages`` truncates the walk (the GEMM backend consumes the stem +
     stage-0 output and runs layers 2-4 itself)."""
     stem_w, stem_b, stages = trunk_tree
-    x = _conv_bias_relu(x, stem_w, stem_b, 2, ((3, 3), (3, 3)))
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        ((0, 0), (1, 1), (1, 1), (0, 0)),
-    )
+    if _STEM_IMPL == "s2d":
+        x = _stem_s2d(x, stem_w, stem_b)
+    else:
+        x = _conv_bias_relu(x, stem_w, stem_b, 2, ((3, 3), (3, 3)))
+    if _POOL_IMPL == "shift":
+        x = _maxpool3s2_shift(x)
+    else:
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
     if n_stages is None:
         n_stages = len(stages)
     for si, (stage, stride) in enumerate(zip(stages[:n_stages], strides)):

@@ -101,6 +101,34 @@ def test_engine_folds_basic_and_grouped(arch):
     assert np.corrcoef(rank_g, rank_w)[0, 1] > 0.85
 
 
+def test_stem_formulation_variants_match():
+    """The flag-gated stem/pool formulations (perf experiment knobs,
+    infer_engine._STEM_IMPL/_POOL_IMPL) must match the default ops: the
+    space-to-depth stem is the same taps re-packed (bf16 accumulation
+    order may differ), the shifted-slice maxpool is bit-exact."""
+    rng = np.random.default_rng(0)
+    for h in (299, 292, 150, 32):
+        x = jnp.asarray(rng.normal(size=(2, h, h, 3)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)) * 0.1, jnp.bfloat16)
+        b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
+        ref = infer_engine._conv_bias_relu(x, w, b, 2, ((3, 3), (3, 3)))
+        got = infer_engine._stem_s2d(x, w, b)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32),
+            atol=0.05, rtol=0.05,
+        )
+        pr = jax.lax.reduce_window(
+            ref, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)),
+        )
+        ps = infer_engine._maxpool3s2_shift(ref)
+        assert ps.shape == pr.shape
+        assert float(jnp.abs(
+            ps.astype(jnp.float32) - pr.astype(jnp.float32)
+        ).max()) == 0.0
+
+
 def test_step_factory_builds_engine(resnet50_small):
     """make_tile_infer_step(engine='q8') returns an engine-backed step whose
     probs track the flax step on a real batch (the top-k selection input)."""
