@@ -510,6 +510,29 @@ def _head_logits(head_params, x4):
     )
 
 
+def _head_logits_flat(head_params, feats, px: int):
+    """_head_logits on GEMM-land's [N, px*C] whole-tile layout: the avg+max
+    pool runs over C-wide (128-aligned) column slices, so the [N, px*C] ->
+    NHWC reshape — a real relayout copy on TPU tiled layouts — never
+    materializes. Identical math (same px values pooled)."""
+    c = feats.shape[1] // px
+    cols = [feats[:, i * c : (i + 1) * c].astype(jnp.float32)
+            for i in range(px)]
+    acc_s, acc_m = cols[0], cols[0]
+    for col in cols[1:]:
+        acc_s = acc_s + col
+        acc_m = jnp.maximum(acc_m, col)
+    pooled = acc_s * (1.0 / px) + acc_m
+    dense = head_params["Dense_0"]
+    return (
+        jax.lax.dot_general(
+            pooled.astype(jnp.bfloat16), dense["kernel"].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        + dense["bias"]
+    )
+
+
 def make_fast_tile_logits(
     model: MILNet, variables: dict, calib_tiles: Optional[np.ndarray] = None,
     backend: str = "conv",
@@ -565,8 +588,7 @@ def make_fast_tile_logits(
             if pad:
                 xq = jnp.pad(xq, ((0, pad), (0, 0)))
             feats = q8_backend_forward(qp, qmetas, xq, interpret=interpret)
-            x4 = feats.reshape(feats.shape[0], hf, wf, cf)
-            return _head_logits(head_params, x4)[:m0]
+            return _head_logits_flat(head_params, feats, hf * wf)[:m0]
 
         return fast_logits_gemm, full_tree
 
@@ -740,7 +762,7 @@ def make_dense_tile_probs(
                 tree[1], qmetas, None, interpret=interpret,
                 first_h1=h1q, first_res=prq,
             )
-            x4 = feats.reshape(feats.shape[0], hf, wf, cf)
+            logits = _head_logits_flat(head_params, feats, hf * wf)[:m0]
         else:
             # feed the s8 patches to block0 with the dequant scale FOLDED
             # into its conv weights: the pure s8->bf16 convert can fuse
@@ -804,10 +826,9 @@ def make_dense_tile_probs(
                 feats = q8_backend_forward(
                     tree[1], qmetas, xq, interpret=interpret
                 )
-                x4 = feats.reshape(feats.shape[0], hf, wf, cf)
+                logits = _head_logits_flat(head_params, feats, hf * wf)[:m0]
             else:
-                x4 = x
-        logits = _head_logits(head_params, x4)[:m0]
+                logits = _head_logits(head_params, x)[:m0]
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
         return unpermute_probs(meta, probs.reshape(g, n_tiles), flip)
 
