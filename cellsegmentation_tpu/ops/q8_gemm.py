@@ -231,7 +231,7 @@ def q8_matmul_px(
     arithmetic, Mosaic-safe.
     """
     m = x.shape[0]
-    if c_in is None:
+    if not c_in:
         # with a strided px_map the input carries stride^2 more pixel
         # groups than px (the OUTPUT group count) — the default would tile
         # the wrong column width, so the caller must say what C is
