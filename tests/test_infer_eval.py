@@ -124,6 +124,16 @@ class TestEvaluateImage:
         assert mse == pytest.approx(np.mean((counts - labels) ** 2.0))
         assert -1 <= qwk <= 1
 
+    def test_diverged_counts_do_not_crash_qwk(self):
+        """QWK sizes its confusion matrix by max(count)² — a diverged
+        regressor emitting a huge count must be clipped eval-side, not
+        allocate terabytes; MSE still carries the divergence unclipped."""
+        labels = np.asarray([0, 5, 10, 20])
+        counts = np.asarray([1, 5, 8, 10**6])
+        m, mse, qwk = eval_mod.evaluate_image(labels, None, counts)
+        assert mse > 1e10  # unclipped signal
+        assert -1 <= qwk <= 1
+
 
 def test_calc_map_smoke():
     from cellsegmentation_tpu.ops.metrics import calc_map
