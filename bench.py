@@ -79,7 +79,8 @@ def build_step(engine: str, encoder: str = "resnet50"):
             calib_images=np.asarray(batches[0][:4]),
         )
     infer_fn = steps_mod.make_tile_infer_step(model, TILE_SIZE, coords, **kwargs)
-    return infer_fn, variables, batches, flip, IMAGE_BATCH
+    resolved = getattr(infer_fn, "resolved_engine", engine)
+    return infer_fn, variables, batches, flip, IMAGE_BATCH, resolved
 
 
 def measure(infer_fn, variables, batches, flip, n_steps: int, rounds: int) -> float:
@@ -120,7 +121,7 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
-    infer_fn, variables, batches, flip, image_batch = build_step(
+    infer_fn, variables, batches, flip, image_batch, resolved = build_step(
         args.engine, args.encoder
     )
     step_s = (
@@ -142,25 +143,38 @@ def main() -> None:
     )
 
     if args.record:
+        # record the RESOLVED chain, not the request: "auto" re-resolves
+        # over time (q8 -> q8dg in round 3), and a literal-string match
+        # would let the record silently go stale (VERDICT r3 weak #1)
         with open(REF_PATH, "w") as f:
-            json.dump({"value": round(images_per_sec, 1), "engine": args.engine,
+            json.dump({"value": round(images_per_sec, 1), "engine": resolved,
                        "encoder": args.encoder}, f)
     elif args.quick and args.encoder == "resnet50" and os.path.exists(REF_PATH):
         with open(REF_PATH) as f:
             ref_rec = json.load(f)
         ref = ref_rec["value"]
-        # the gate only means something when this run used the same chain
-        # the reference was recorded with (a flax-recorded ref would let a
-        # 25% q8dg regression pass silently)
-        if (ref_rec.get("engine", args.engine) != args.engine
+        # the gate only means something when this run RESOLVED to the same
+        # chain the reference was recorded with (a flax- or q8-recorded
+        # ref would let a 25% q8dg regression pass silently) — and a
+        # mismatch under --engine auto means the record itself is stale
+        ref_engine = ref_rec.get("engine", resolved)
+        if (ref_engine != resolved
                 or ref_rec.get("encoder", "resnet50") != args.encoder):
             print(
                 f"gate skipped: BENCH_REF.json was recorded with "
-                f"engine={ref_rec.get('engine')}/encoder="
-                f"{ref_rec.get('encoder', 'resnet50')}, this run is "
-                f"{args.engine}/{args.encoder}",
+                f"engine={ref_engine}/encoder="
+                f"{ref_rec.get('encoder', 'resnet50')}, this run resolved "
+                f"to {resolved}/{args.encoder}",
                 file=sys.stderr,
             )
+            if args.engine == "auto":
+                print(
+                    "STALE RECORD: auto resolves to a chain BENCH_REF.json "
+                    "was not recorded with — rerun `python bench.py "
+                    "--record` on hardware",
+                    file=sys.stderr,
+                )
+                sys.exit(1)
         elif gate_fails(images_per_sec, ref):
             print(
                 f"REGRESSION: {images_per_sec:.0f} img/s < "

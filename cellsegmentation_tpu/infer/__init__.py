@@ -45,6 +45,12 @@ def inference_image(
     Returns (categories [N], counts [N]) like the reference's
     inference_image (reference: inference.py:46-95); single-head variants
     return only their output (:98-137).
+
+    ``infer_step`` must be PROCESS-LOCAL (a plain jit, no mesh/shard_map):
+    batches are round-robined across processes (multihost.my_batches), so a
+    collective-bearing step would launch different computations per process
+    and deadlock. Mesh-sharded sweeps go through the trainers' stack-resident
+    paths instead.
     """
     n = len(source)
     flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
@@ -104,6 +110,11 @@ def inference_tiles(
     flattened, reference-order equivalent of inference_tiles
     (reference: inference.py:9-28) is ``probs.reshape(-1)`` since all images
     share the static grid.
+
+    ``infer_step`` must be PROCESS-LOCAL (a plain jit, no mesh/shard_map):
+    batches are round-robined across processes (multihost.my_batches), so a
+    collective-bearing step (e.g. make_stack_tile_infer_step output) would
+    launch different computations per process and deadlock.
     """
     h, w = source.image_hw
     n_t = tile_grid(h, w, tile_size, interval).shape[0]

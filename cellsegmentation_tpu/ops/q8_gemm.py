@@ -166,6 +166,153 @@ def q8_matmul(
 
 
 # ---------------------------------------------------------------------------
+# Tap-accumulating 3x3 conv in whole-tile layout
+# ---------------------------------------------------------------------------
+
+
+def _tap_kernel(x_ref, w_ref, b_ref, ws_ref, o_ref, acc_ref, *, out_spec,
+                geom):
+    """One (bm, C') output block of one output pixel group; grid dim 2
+    walks the 9 taps accumulating single dots in VMEM (the same
+    single-dot-per-kernel discipline as _mm_kernel's K-grid — chained
+    dots inside one Mosaic kernel relayout-collapse, docs/PERF.md)."""
+    h_in, w_in, w_out, stride = geom
+    p = pl.program_id(1)
+    t = pl.program_id(2)
+
+    @pl.when(t == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hi = stride * (p // w_out) + t // 3 - 1
+    wi = stride * (p % w_out) + t % 3 - 1
+    valid = (hi >= 0) & (hi < h_in) & (wi >= 0) & (wi < w_in)
+
+    @pl.when(valid)
+    def _():
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(t == pl.num_programs(2) - 1)
+    def _():
+        kind, in_scale, out_scale, relu = out_spec
+        y = acc_ref[:].astype(jnp.float32) * (in_scale * ws_ref[:])
+        y = y + b_ref[:]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if kind == "int8":
+            o_ref[:] = jnp.clip(
+                jnp.round(y * (1.0 / out_scale)), -127, 127
+            ).astype(jnp.int8)
+        else:
+            o_ref[:] = y.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_in", "w_in", "stride", "c_in", "out_kind",
+                     "in_scale", "out_scale", "relu", "bm", "interpret"),
+)
+def q8_conv3_tap(
+    x: jnp.ndarray,  # [M, h_in*w_in*c_in] int8, whole-tile layout
+    w: jnp.ndarray,  # [9*c_in, c_out] int8, tap-major rows (dy*3+dx)
+    bias: jnp.ndarray,  # [c_out] f32 (BN-folded)
+    w_scale: jnp.ndarray,  # [c_out] f32 per-output-channel scales
+    h_in: int = 0,
+    w_in: int = 0,
+    stride: int = 1,
+    c_in: int = 0,
+    out_kind: str = "int8",
+    in_scale: float = 1.0,
+    out_scale: float = 1.0,
+    relu: bool = True,
+    bm: int = 0,
+    interpret: bool = False,
+):
+    """3x3 pad-1 conv on whole-tile maps as 9 shifted single-dot GEMMs.
+
+    out[n, (ho,wo), co] = sum_taps x[n, (s*ho+dy-1, s*wo+dx-1), ci]
+    * K[dy,dx,ci,co], out-of-range taps skipped — the ZERO-redundancy
+    formulation of the tile-map 3x3 (the whole-tile Toeplitz GEMM of
+    ops/q8_trunk.py re-multiplies px_in/9 redundant K-columns per output
+    pixel: 7.1x at 8x8 px). Grid = (M blocks, output pixel groups, 9 taps);
+    each step is one [bm, C] x [C, C'] int8 dot accumulated in a VMEM
+    scratch, with out-of-range taps masked by a scalar predicate on the
+    grid indices (their block fetch is clamped in-range and discarded).
+
+    Accumulates the EXACT same int32 products as the whole-tile GEMM
+    (identical per-channel weight quantization; the Toeplitz zeros
+    contribute nothing), so the two paths are bit-identical.
+
+    Reference behavior spec: the stride-s 3x3 of the frozen Bottleneck
+    tile forward (reference: model/resnet.py:236-243, inference.py:9-28).
+    """
+    m = x.shape[0]
+    assert h_in and w_in and c_in, "static geometry is required"
+    h_out = (h_in - 1) // stride + 1
+    w_out = (w_in - 1) // stride + 1
+    px_out = h_out * w_out
+    c_out = w.shape[1]
+
+    def fits(c):  # double-buffered x/out blocks + i32 accumulator
+        out_b = 2 if out_kind == "bf16" else 1
+        return (
+            2 * (c * c_in + c * c_out * out_b) + 9 * c_in * c_out
+            + 4 * c * c_out
+            <= _VMEM_BUDGET
+        )
+
+    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+
+    def x_idx(i, p, t):
+        hi = jnp.clip(stride * (p // w_out) + t // 3 - 1, 0, h_in - 1)
+        wi = jnp.clip(stride * (p % w_out) + t % 3 - 1, 0, w_in - 1)
+        return (i, hi * w_in + wi)
+
+    kernel = functools.partial(
+        _tap_kernel,
+        out_spec=(out_kind, in_scale, out_scale, relu),
+        geom=(h_in, w_in, w_out, stride),
+    )
+    out_dtype = jnp.int8 if out_kind == "int8" else jnp.bfloat16
+    # useful MACs only (out-of-range taps are skipped, ~16-31% of 9)
+    valid_taps = sum(
+        1
+        for ho in range(h_out) for wo in range(w_out)
+        for dy in range(3) for dx in range(3)
+        if 0 <= stride * ho + dy - 1 < h_in
+        and 0 <= stride * wo + dx - 1 < w_in
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, px_out, 9),
+        in_specs=[
+            pl.BlockSpec((bm, c_in), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_in, c_out), lambda i, p, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_out), lambda i, p, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, c_out), lambda i, p, t: (i, p),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, px_out * c_out), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c_out), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * valid_taps * c_in * c_out,
+            bytes_accessed=m * (px_out * 9 * c_in + px_out * c_out)
+            + 9 * c_in * c_out,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, bias.reshape(1, c_out), w_scale.reshape(1, c_out))
+
+
+# ---------------------------------------------------------------------------
 # Batched (per-pixel-group) GEMM in whole-tile layout
 # ---------------------------------------------------------------------------
 

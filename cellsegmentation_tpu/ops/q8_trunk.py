@@ -31,11 +31,32 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cellsegmentation_tpu.ops.q8_gemm import q8_matmul, q8_matmul_px
+from cellsegmentation_tpu.ops.q8_gemm import (
+    q8_conv3_tap,
+    q8_matmul,
+    q8_matmul_px,
+)
 
 # Pad the tile-batch dimension so every GEMM M (= tiles * px) hits an
 # aligned block size (960 divides 43200 and keeps M a multiple of 32*px).
 TILE_ALIGN = 960
+
+# 3x3 formulation per block: "wholetile" (Toeplitz GEMM), "tap"
+# (tap-accumulating conv, ops/q8_gemm.py::q8_conv3_tap), or "auto" — tap
+# when the block's input map has more than 9 pixels (the Toeplitz GEMM
+# re-multiplies px_in/9 redundant K-columns per output pixel: 7.1x at
+# 8x8, 1.8x at 4x4; at <=9 px the dense-K wholetile GEMM runs at higher
+# MXU rates than 9 small-K dots). The two forms are BIT-IDENTICAL
+# (tests/test_q8_trunk.py) — this is a pure perf knob.
+W2_IMPL = "auto"
+
+
+def _use_tap(h: int, w: int) -> bool:
+    if W2_IMPL == "tap":
+        return True
+    if W2_IMPL == "wholetile":
+        return False
+    return h * w > 9
 
 
 def _per_channel_scale(k: np.ndarray) -> np.ndarray:
@@ -90,6 +111,7 @@ class QBlockMeta:
     s_res: float  # residual scale: s_in (identity) or the proj-out scale
     s_out: Optional[float]  # None -> final block, bf16 out
     has_proj: bool
+    w2_tap: bool = False  # 3x3 runs as q8_conv3_tap instead of wholetile
 
 
 def build_q8_backend(folded, scales, h_in: int, w_in: int,
@@ -122,19 +144,28 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
             c_out = w3.shape[3]
 
             s1 = _per_channel_scale(w1[0, 0])
-            big2, ho, wo = _wholetile_weight(w2, h, w, blk_stride)
             s2c = _per_channel_scale(w2)  # per co
-            s2 = np.tile(s2c, ho * wo)
-            b2t = np.tile(b2, ho * wo)
+            w2_tap = _use_tap(h, w)
+            if w2_tap:
+                # tap-major [9*c_mid, c_mid] rows (dy*3+dx)*c_mid + ci —
+                # the row-major reshape of the HWIO kernel
+                ho = (h - 1) // blk_stride + 1
+                wo = (w - 1) // blk_stride + 1
+                w2q = _quant_w(w2.reshape(9 * c_mid, c_mid), s2c)
+                b2q, s2q = b2, s2c
+            else:
+                big2, ho, wo = _wholetile_weight(w2, h, w, blk_stride)
+                w2q = _quant_w(big2, np.tile(s2c, ho * wo))
+                b2q, s2q = np.tile(b2, ho * wo), np.tile(s2c, ho * wo)
             s3 = _per_channel_scale(w3[0, 0])
 
             p = {
                 "w1": jnp.asarray(_quant_w(w1[0, 0], s1)),
                 "b1": jnp.asarray(b1),
                 "s1": jnp.asarray(s1),
-                "w2": jnp.asarray(_quant_w(big2, s2)),
-                "b2": jnp.asarray(b2t),
-                "s2": jnp.asarray(s2),
+                "w2": jnp.asarray(w2q),
+                "b2": jnp.asarray(b2q),
+                "s2": jnp.asarray(s2q),
                 "w3": jnp.asarray(_quant_w(w3[0, 0], s3)),
                 "b3": jnp.asarray(b3),
                 "s3": jnp.asarray(s3),
@@ -164,6 +195,7 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
                     s_res=s_res,
                     s_out=None if is_final else float(scales.block_out[si][bi]),
                     has_proj=has_proj,
+                    w2_tap=w2_tap,
                 )
             )
             params.append(p)
@@ -215,11 +247,18 @@ def q8_backend_forward(params, metas, xq, interpret: bool = False,
                 )
             else:
                 res = xq
-        h2 = q8_matmul(
-            h1, p["w2"], p["b2"], p["s2"],
-            out_kind="int8", in_scale=m.s_h1, out_scale=m.s_h2,
-            interpret=interpret,
-        )
+        if m.w2_tap:
+            h2 = q8_conv3_tap(
+                h1, p["w2"], p["b2"], p["s2"],
+                h_in=m.h_in, w_in=m.w_in, stride=m.stride, c_in=m.c_mid,
+                in_scale=m.s_h1, out_scale=m.s_h2, interpret=interpret,
+            )
+        else:
+            h2 = q8_matmul(
+                h1, p["w2"], p["b2"], p["s2"],
+                out_kind="int8", in_scale=m.s_h1, out_scale=m.s_h2,
+                interpret=interpret,
+            )
         xq = q8_matmul_px(
             h2, p["w3"], p["b3"], p["s3"], residual=res, px=px_out,
             c_in=m.c_mid, res_scale=m.s_res,

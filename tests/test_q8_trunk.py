@@ -113,6 +113,106 @@ def test_q8_matmul_px_identity_and_strided():
         assert diff.max() <= 1
 
 
+@pytest.mark.parametrize("stride,h", [(2, 8), (1, 4), (2, 4)])
+def test_q8_conv3_tap_bit_identical_to_wholetile(stride, h):
+    """The tap-accumulating conv quantizes the same kernel with the same
+    per-channel scales as the whole-tile Toeplitz GEMM, and the Toeplitz
+    zeros contribute nothing — the int32 accumulators (hence the int8
+    outputs) must be BIT-IDENTICAL between the two formulations."""
+    from cellsegmentation_tpu.ops.q8_gemm import q8_conv3_tap
+
+    rng = np.random.default_rng(4)
+    m, c_in, c_out = 64, 8, 16
+    k2 = rng.normal(size=(3, 3, c_in, c_out)).astype(np.float32)
+    x = rng.integers(-127, 127, (m, h * h * c_in), dtype=np.int8)
+    b2 = rng.normal(size=(c_out,)).astype(np.float32)
+
+    s2c = qt._per_channel_scale(k2)
+    big2, ho, wo = qt._wholetile_weight(k2, h, h, stride)
+    w_big = qt._quant_w(big2, np.tile(s2c, ho * wo))
+    w_tap = qt._quant_w(k2.reshape(9 * c_in, c_out), s2c)
+
+    got_wt = np.asarray(q8_matmul(
+        jnp.asarray(x), jnp.asarray(w_big),
+        jnp.asarray(np.tile(b2, ho * wo)), jnp.asarray(np.tile(s2c, ho * wo)),
+        out_kind="int8", in_scale=0.05, out_scale=0.1, interpret=True,
+    ))
+    got_tap = np.asarray(q8_conv3_tap(
+        jnp.asarray(x), jnp.asarray(w_tap), jnp.asarray(b2), jnp.asarray(s2c),
+        h_in=h, w_in=h, stride=stride, c_in=c_in,
+        in_scale=0.05, out_scale=0.1, interpret=True,
+    ))
+    assert got_tap.shape == (m, ho * wo * c_out)
+    np.testing.assert_array_equal(got_tap, got_wt)
+
+
+def test_q8_conv3_tap_matches_conv_oracle():
+    """Independent check against lax.conv on the dequantized weights."""
+    from cellsegmentation_tpu.ops.q8_gemm import q8_conv3_tap
+
+    rng = np.random.default_rng(5)
+    m, h, c_in, c_out, stride = 32, 8, 8, 16, 2
+    k2 = rng.normal(size=(3, 3, c_in, c_out)).astype(np.float32)
+    x = rng.integers(-127, 127, (m, h * h * c_in), dtype=np.int8)
+    b2 = rng.normal(size=(c_out,)).astype(np.float32)
+    s2c = qt._per_channel_scale(k2)
+    w_tap = qt._quant_w(k2.reshape(9 * c_in, c_out), s2c)
+    in_scale, out_scale = 0.05, 0.1
+
+    got = np.asarray(q8_conv3_tap(
+        jnp.asarray(x), jnp.asarray(w_tap), jnp.asarray(b2), jnp.asarray(s2c),
+        h_in=h, w_in=h, stride=stride, c_in=c_in,
+        in_scale=in_scale, out_scale=out_scale, interpret=True,
+    ))
+
+    kq = (w_tap.reshape(3, 3, c_in, c_out).astype(np.float32) * s2c)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x.reshape(m, h, h, c_in), jnp.float32) * in_scale,
+        jnp.asarray(kq), (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    ho = (h - 1) // stride + 1
+    want = np.clip(
+        np.round(np.maximum(np.asarray(y) + b2, 0.0) / out_scale), -127, 127
+    ).astype(np.int8).reshape(m, ho * ho * c_out)
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_backend_w2_impl_is_pure_perf_knob(monkeypatch):
+    """Whole backend A/B: forcing every 3x3 to tap vs wholetile must give
+    bit-identical bf16 features (W2_IMPL is a perf knob, not a numerics
+    one)."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops.infer_engine import (
+        calibrate_trunk,
+        fold_tile_trunk,
+    )
+
+    monkeypatch.setattr(qt, "TILE_ALIGN", 32)
+    model = build_model("resnet50")
+    variables = init_variables(model, jax.random.PRNGKey(1))
+    trunk = fold_tile_trunk(model, variables)
+    rng = np.random.default_rng(6)
+    calib = rng.normal(117, 50, size=(32, 16, 16, 3)).clip(0, 255).astype(
+        np.float32
+    )
+    scales = calibrate_trunk(trunk, calib, deep=True)
+
+    # layer1 output at 16x16 tiles: 4x4 map, 256ch -> layer2 block0 runs
+    # its 3x3 on a 16-px map (tap-eligible), layer3+ at <=4 px (wholetile)
+    xq = rng.integers(-127, 127, (32, 4 * 4 * 256), dtype=np.int8)
+    outs = {}
+    for impl in ("tap", "wholetile"):
+        monkeypatch.setattr(qt, "W2_IMPL", impl)
+        params, metas = qt.build_q8_backend(trunk, scales, 4, 4)
+        outs[impl] = np.asarray(
+            qt.q8_backend_forward(params, metas, jnp.asarray(xq),
+                                  interpret=True)
+        )
+    assert any(m.w2_tap for m in metas) is False  # wholetile build
+    np.testing.assert_array_equal(outs["tap"], outs["wholetile"])
+
+
 def test_gemm_backend_ranking_matches_flax(monkeypatch):
     """Full-engine check: q8g probs track the flax tile forward's ranking on
     structured images through a random-init resnet50."""

@@ -4,12 +4,20 @@ The round-3 measurement queue (docs/PERF.md "remaining levers") — run when
 a real chip is attached; each variant is already fidelity-gated on CPU:
 
     python tools/time_dense_variants.py              # splits (2,0) vs (1,1)
-    python tools/time_dense_variants.py 1,1          # one split
+    python tools/time_dense_variants.py 1,1 1,0      # chosen splits
     G=384 python tools/time_dense_variants.py        # image-batch sweep
     CST_STEM=s2d CST_POOL=shift python tools/time_dense_variants.py
+    CST_W2=wholetile python tools/time_dense_variants.py 1,0   # tap A/B
+
+Round-4 additions: the (1,0) split + the tap-accumulating 3x3
+(q8_conv3_tap, default W2_IMPL="auto" = tap on >9-px maps) moves ALL of
+layer2 into GEMM-land with zero Toeplitz redundancy — time splits (2,0),
+(1,1) and (1,0), and CST_W2=wholetile isolates the tap kernel's own
+contribution.
 
 Winners get promoted to defaults (make_dense_tile_probs gemm_first_* /
-infer_engine._STEM_IMPL/_POOL_IMPL) and re-recorded via bench.py --record.
+infer_engine._STEM_IMPL/_POOL_IMPL / q8_trunk.W2_IMPL) and re-recorded
+via bench.py --record.
 """
 
 from __future__ import annotations
@@ -35,13 +43,18 @@ from cellsegmentation_tpu.ops.infer_engine import (
 )
 from cellsegmentation_tpu.ops.tiles import tile_grid
 
+from cellsegmentation_tpu.ops import q8_trunk as qt
+
 TILE, INTERVAL, HW = 32, 20, 299
 G = int(os.environ.get("G", "192"))
 ie._STEM_IMPL = os.environ.get("CST_STEM", ie._STEM_IMPL)
 ie._POOL_IMPL = os.environ.get("CST_POOL", ie._POOL_IMPL)
-print(f"G={G} stem={ie._STEM_IMPL} pool={ie._POOL_IMPL}", flush=True)
+qt.W2_IMPL = os.environ.get("CST_W2", qt.W2_IMPL)
+print(f"G={G} stem={ie._STEM_IMPL} pool={ie._POOL_IMPL} "
+      f"w2={qt.W2_IMPL}", flush=True)
 
-splits = [tuple(map(int, s.split(","))) for s in sys.argv[1:]] or [(2, 0), (1, 1)]
+splits = [tuple(map(int, s.split(","))) for s in sys.argv[1:]] or [
+    (2, 0), (1, 1), (1, 0)]
 
 model = build_model("resnet50")
 variables = init_variables(model, jax.random.PRNGKey(0))
