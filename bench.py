@@ -57,8 +57,10 @@ def build_step(engine: str, encoder: str = "resnet50"):
     from cellsegmentation_tpu.train import steps as steps_mod
 
     TILE_SIZE, INTERVAL, HW = 32, 20, 299
-    IMAGE_BATCH = 192  # 192 images/step × 225 tiles = 43200-tile forward
-    # (batch sweep: 64 -> 2665, 128 -> 2880, 192 -> 3036 img-equiv/s)
+    IMAGE_BATCH = 256  # 256 images/step × 225 tiles = 57600-tile forward,
+    # exactly 60 TILE_ALIGN(960) GEMM rows. r4 hardware sweep (q8dg):
+    # 192 -> 3919, 224 -> 3957, 256 -> 4380, 288 -> 3837 (57600 is the
+    # only /960-aligned size in range), 320 -> 4017, 384 -> 4285 img/s
 
     model = build_model(encoder)
     variables = init_variables(model, jax.random.PRNGKey(0))

@@ -182,11 +182,12 @@ def _stem_s2d(x, w, b):
                 w[ky, kx]
             )
     ho = (h + 2 * 3 - kh) // 2 + 1
+    wo = (wd + 2 * 3 - kh) // 2 + 1
     y = jax.lax.conv_general_dilated(
         xs, k2.astype(jnp.bfloat16), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.bfloat16,
-    )[:, :ho, :ho]
+    )[:, :ho, :wo]
     return jnp.maximum(y + b.astype(jnp.bfloat16), 0)
 
 

@@ -313,6 +313,154 @@ def q8_conv3_tap(
 
 
 # ---------------------------------------------------------------------------
+# Row-Toeplitz 3x3 conv in whole-tile layout
+# ---------------------------------------------------------------------------
+
+
+def _rowtap_kernel(x_ref, w_ref, b_ref, ws_ref, o_ref, acc_ref, *, out_spec,
+                   geom):
+    """One (bm, w_out*C') block = one whole OUTPUT ROW of one M block; grid
+    dim 2 walks the 3 dy taps, each a single [bm, w_in*C] x [w_in*C,
+    w_out*C'] dot against the dy-th row-Toeplitz weight plane (all dx taps
+    of one input row at once). Same accumulate-in-VMEM discipline as
+    _mm_kernel/_tap_kernel."""
+    h_in, stride = geom
+    ho = pl.program_id(1)
+    dy = pl.program_id(2)
+
+    @pl.when(dy == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    hi = stride * ho + dy - 1
+    valid = (hi >= 0) & (hi < h_in)
+
+    @pl.when(valid)
+    def _():
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when(dy == pl.num_programs(2) - 1)
+    def _():
+        kind, in_scale, out_scale, relu = out_spec
+        y = acc_ref[:].astype(jnp.float32) * (in_scale * ws_ref[:])
+        y = y + b_ref[:]
+        if relu:
+            y = jnp.maximum(y, 0.0)
+        if kind == "int8":
+            o_ref[:] = jnp.clip(
+                jnp.round(y * (1.0 / out_scale)), -127, 127
+            ).astype(jnp.int8)
+        else:
+            o_ref[:] = y.astype(jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("h_in", "w_in", "stride", "c_in", "out_kind",
+                     "in_scale", "out_scale", "relu", "bm", "interpret"),
+)
+def q8_conv3_rowtap(
+    x: jnp.ndarray,  # [M, h_in*w_in*c_in] int8, whole-tile layout
+    w: jnp.ndarray,  # [3*w_in*c_in, w_out*c_out] int8, dy-major row-Toeplitz
+    bias: jnp.ndarray,  # [w_out*c_out] f32 (per-co bias tiled over wo)
+    w_scale: jnp.ndarray,  # [w_out*c_out] f32 (per-co scales tiled over wo)
+    h_in: int = 0,
+    w_in: int = 0,
+    stride: int = 1,
+    c_in: int = 0,
+    out_kind: str = "int8",
+    in_scale: float = 1.0,
+    out_scale: float = 1.0,
+    relu: bool = True,
+    bm: int = 0,
+    interpret: bool = False,
+):
+    """3x3 pad-1 conv as 3 row-Toeplitz single dots per output row.
+
+    The middle ground between the whole-tile Toeplitz GEMM (ONE huge dot,
+    px_in/9-redundant K columns — 2.6x at 4x4 maps) and the per-tap conv
+    (zero redundancy but 9*px_out tiny K=C dots): dy-th dot per output row
+    reads one whole INPUT row [bm, w_in*C] (contiguous in the whole-tile
+    layout) against a [w_in*C, w_out*C'] weight whose (wi, wo) band holds
+    K[dy, wi-stride*wo+1] (zero outside the 3-wide band — w_in/3-redundant
+    only along the row axis). 3*h_out medium dots, K = w_in*C.
+
+    Accumulates the exact same int32 products as the other two
+    formulations (identical per-channel quantization; band zeros contribute
+    nothing) — bit-identical outputs, pure perf knob
+    (tests/test_q8_trunk.py).
+
+    Reference behavior spec: the stride-s 3x3 of the frozen Bottleneck
+    tile forward (reference: model/resnet.py:236-243, inference.py:9-28).
+    """
+    m = x.shape[0]
+    assert h_in and w_in and c_in, "static geometry is required"
+    h_out = (h_in - 1) // stride + 1
+    w_out = (w_in - 1) // stride + 1
+    k_row = w_in * c_in
+    n_cols = w.shape[1]  # w_out * c_out
+    assert n_cols % w_out == 0
+
+    def fits(c):  # double-buffered x/out blocks + i32 accumulator
+        out_b = 2 if out_kind == "bf16" else 1
+        # the accumulator is counted twice: the compiler's scoped-vmem
+        # accounting for this 3-dim revolving grid runs ~35% above the
+        # naive single-buffered model (measured: bm=2880 at k_row=512
+        # scoped 16.82M vs 12.3M modeled), and the extra acc copy is the
+        # closest structural explanation — stay conservative.
+        return (
+            2 * (c * k_row + k_row * n_cols + c * n_cols * out_b)
+            + 8 * c * n_cols
+            <= _VMEM_BUDGET
+        )
+
+    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+
+    def x_idx(i, ho, dy):
+        return (i, jnp.clip(stride * ho + dy - 1, 0, h_in - 1))
+
+    kernel = functools.partial(
+        _rowtap_kernel,
+        out_spec=(out_kind, in_scale, out_scale, relu),
+        geom=(h_in, stride),
+    )
+    out_dtype = jnp.int8 if out_kind == "int8" else jnp.bfloat16
+    valid_rows = sum(
+        1
+        for ho in range(h_out) for dy in range(3)
+        if 0 <= stride * ho + dy - 1 < h_in
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, h_out, 3),
+        in_specs=[
+            pl.BlockSpec((bm, k_row), x_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_row, n_cols), lambda i, ho, dy: (dy, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_cols), lambda i, ho, dy: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_cols), lambda i, ho, dy: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, n_cols), lambda i, ho, dy: (i, ho),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, h_out * n_cols), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, n_cols), jnp.int32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * valid_rows * k_row * n_cols,
+            bytes_accessed=m * (valid_rows * k_row + h_out * n_cols)
+            + 3 * k_row * n_cols,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w, bias.reshape(1, n_cols), w_scale.reshape(1, n_cols))
+
+
+# ---------------------------------------------------------------------------
 # Batched (per-pixel-group) GEMM in whole-tile layout
 # ---------------------------------------------------------------------------
 

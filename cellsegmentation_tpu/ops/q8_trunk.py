@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cellsegmentation_tpu.ops.q8_gemm import (
+    q8_conv3_rowtap,
     q8_conv3_tap,
     q8_matmul,
     q8_matmul_px,
@@ -42,21 +43,20 @@ from cellsegmentation_tpu.ops.q8_gemm import (
 TILE_ALIGN = 960
 
 # 3x3 formulation per block: "wholetile" (Toeplitz GEMM), "tap"
-# (tap-accumulating conv, ops/q8_gemm.py::q8_conv3_tap), or "auto" — tap
+# (tap-accumulating conv, ops/q8_gemm.py::q8_conv3_tap), "rowtap"
+# (row-Toeplitz dots, ops/q8_gemm.py::q8_conv3_rowtap), or "auto" — tap
 # when the block's input map has more than 9 pixels (the Toeplitz GEMM
 # re-multiplies px_in/9 redundant K-columns per output pixel: 7.1x at
 # 8x8, 1.8x at 4x4; at <=9 px the dense-K wholetile GEMM runs at higher
-# MXU rates than 9 small-K dots). The two forms are BIT-IDENTICAL
+# MXU rates than 9 small-K dots). The three forms are BIT-IDENTICAL
 # (tests/test_q8_trunk.py) — this is a pure perf knob.
 W2_IMPL = "auto"
 
 
-def _use_tap(h: int, w: int) -> bool:
-    if W2_IMPL == "tap":
-        return True
-    if W2_IMPL == "wholetile":
-        return False
-    return h * w > 9
+def _w2_impl(h: int, w: int) -> str:
+    if W2_IMPL != "auto":
+        return W2_IMPL
+    return "tap" if h * w > 9 else "wholetile"
 
 
 def _per_channel_scale(k: np.ndarray) -> np.ndarray:
@@ -93,6 +93,27 @@ def _wholetile_weight(k2: np.ndarray, h: int, w: int, stride: int):
     return big, ho, wo
 
 
+def _rowtap_weight(k2: np.ndarray, w_in: int, stride: int):
+    """[3,3,C,C'] folded conv kernel -> dy-major row-Toeplitz GEMM weight.
+
+    Returns (W [3*w_in*C, w_out*C'] f32, w_out). Plane dy holds, at band
+    (wi, wo), K[dy, wi - stride*wo + 1] — one whole-input-row dot per
+    (output row, dy) covers every dx tap at once (q8_conv3_rowtap).
+    """
+    _, kw, c_in, c_out = k2.shape
+    w_out = (w_in - 1) // stride + 1
+    big = np.zeros((3 * w_in * c_in, w_out * c_out), dtype=np.float32)
+    for dy in range(3):
+        for wo in range(w_out):
+            for dx in range(kw):
+                wi = stride * wo + dx - 1
+                if 0 <= wi < w_in:
+                    r = (dy * w_in + wi) * c_in
+                    c = wo * c_out
+                    big[r : r + c_in, c : c + c_out] = k2[dy, dx]
+    return big, w_out
+
+
 @dataclasses.dataclass(frozen=True)
 class QBlockMeta:
     """Static per-block config (baked into the jitted program)."""
@@ -111,7 +132,7 @@ class QBlockMeta:
     s_res: float  # residual scale: s_in (identity) or the proj-out scale
     s_out: Optional[float]  # None -> final block, bf16 out
     has_proj: bool
-    w2_tap: bool = False  # 3x3 runs as q8_conv3_tap instead of wholetile
+    w2_impl: str = "wholetile"  # "wholetile" | "tap" | "rowtap"
 
 
 def build_q8_backend(folded, scales, h_in: int, w_in: int,
@@ -145,14 +166,19 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
 
             s1 = _per_channel_scale(w1[0, 0])
             s2c = _per_channel_scale(w2)  # per co
-            w2_tap = _use_tap(h, w)
-            if w2_tap:
+            w2_impl = _w2_impl(h, w)
+            if w2_impl == "tap":
                 # tap-major [9*c_mid, c_mid] rows (dy*3+dx)*c_mid + ci —
                 # the row-major reshape of the HWIO kernel
                 ho = (h - 1) // blk_stride + 1
                 wo = (w - 1) // blk_stride + 1
                 w2q = _quant_w(w2.reshape(9 * c_mid, c_mid), s2c)
                 b2q, s2q = b2, s2c
+            elif w2_impl == "rowtap":
+                big2, wo = _rowtap_weight(w2, w, blk_stride)
+                ho = (h - 1) // blk_stride + 1
+                w2q = _quant_w(big2, np.tile(s2c, wo))
+                b2q, s2q = np.tile(b2, wo), np.tile(s2c, wo)
             else:
                 big2, ho, wo = _wholetile_weight(w2, h, w, blk_stride)
                 w2q = _quant_w(big2, np.tile(s2c, ho * wo))
@@ -195,7 +221,7 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
                     s_res=s_res,
                     s_out=None if is_final else float(scales.block_out[si][bi]),
                     has_proj=has_proj,
-                    w2_tap=w2_tap,
+                    w2_impl=w2_impl,
                 )
             )
             params.append(p)
@@ -247,8 +273,14 @@ def q8_backend_forward(params, metas, xq, interpret: bool = False,
                 )
             else:
                 res = xq
-        if m.w2_tap:
+        if m.w2_impl == "tap":
             h2 = q8_conv3_tap(
+                h1, p["w2"], p["b2"], p["s2"],
+                h_in=m.h_in, w_in=m.w_in, stride=m.stride, c_in=m.c_mid,
+                in_scale=m.s_h1, out_scale=m.s_h2, interpret=interpret,
+            )
+        elif m.w2_impl == "rowtap":
+            h2 = q8_conv3_rowtap(
                 h1, p["w2"], p["b2"], p["s2"],
                 h_in=m.h_in, w_in=m.w_in, stride=m.stride, c_in=m.c_mid,
                 in_scale=m.s_h1, out_scale=m.s_h2, interpret=interpret,

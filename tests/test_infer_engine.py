@@ -107,8 +107,11 @@ def test_stem_formulation_variants_match():
     space-to-depth stem is the same taps re-packed (bf16 accumulation
     order may differ), the shifted-slice maxpool is bit-exact."""
     rng = np.random.default_rng(0)
-    for h in (299, 292, 150, 32):
-        x = jnp.asarray(rng.normal(size=(2, h, h, 3)), jnp.bfloat16)
+    # rectangular cases = the dense frontend's border strips (a square-only
+    # slice bug in _stem_s2d crashed the 299/32/20 sweep; round 4)
+    for h, wd in ((299, 299), (292, 292), (150, 150), (32, 32),
+                  (36, 292), (292, 36), (36, 36)):
+        x = jnp.asarray(rng.normal(size=(2, h, wd, 3)), jnp.bfloat16)
         w = jnp.asarray(rng.normal(size=(7, 7, 3, 64)) * 0.1, jnp.bfloat16)
         b = jnp.asarray(rng.normal(size=(64,)), jnp.float32)
         ref = infer_engine._conv_bias_relu(x, w, b, 2, ((3, 3), (3, 3)))

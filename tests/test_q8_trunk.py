@@ -115,11 +115,11 @@ def test_q8_matmul_px_identity_and_strided():
 
 @pytest.mark.parametrize("stride,h", [(2, 8), (1, 4), (2, 4)])
 def test_q8_conv3_tap_bit_identical_to_wholetile(stride, h):
-    """The tap-accumulating conv quantizes the same kernel with the same
-    per-channel scales as the whole-tile Toeplitz GEMM, and the Toeplitz
-    zeros contribute nothing — the int32 accumulators (hence the int8
-    outputs) must be BIT-IDENTICAL between the two formulations."""
-    from cellsegmentation_tpu.ops.q8_gemm import q8_conv3_tap
+    """The tap-accumulating and row-Toeplitz convs quantize the same kernel
+    with the same per-channel scales as the whole-tile Toeplitz GEMM, and
+    the Toeplitz zeros contribute nothing — the int32 accumulators (hence
+    the int8 outputs) must be BIT-IDENTICAL across all three formulations."""
+    from cellsegmentation_tpu.ops.q8_gemm import q8_conv3_rowtap, q8_conv3_tap
 
     rng = np.random.default_rng(4)
     m, c_in, c_out = 64, 8, 16
@@ -131,6 +131,9 @@ def test_q8_conv3_tap_bit_identical_to_wholetile(stride, h):
     big2, ho, wo = qt._wholetile_weight(k2, h, h, stride)
     w_big = qt._quant_w(big2, np.tile(s2c, ho * wo))
     w_tap = qt._quant_w(k2.reshape(9 * c_in, c_out), s2c)
+    row2, wo_r = qt._rowtap_weight(k2, h, stride)
+    assert wo_r == wo
+    w_row = qt._quant_w(row2, np.tile(s2c, wo))
 
     got_wt = np.asarray(q8_matmul(
         jnp.asarray(x), jnp.asarray(w_big),
@@ -142,8 +145,16 @@ def test_q8_conv3_tap_bit_identical_to_wholetile(stride, h):
         h_in=h, w_in=h, stride=stride, c_in=c_in,
         in_scale=0.05, out_scale=0.1, interpret=True,
     ))
+    got_row = np.asarray(q8_conv3_rowtap(
+        jnp.asarray(x), jnp.asarray(w_row),
+        jnp.asarray(np.tile(b2, wo)), jnp.asarray(np.tile(s2c, wo)),
+        h_in=h, w_in=h, stride=stride, c_in=c_in,
+        in_scale=0.05, out_scale=0.1, interpret=True,
+    ))
     assert got_tap.shape == (m, ho * wo * c_out)
     np.testing.assert_array_equal(got_tap, got_wt)
+    assert got_row.shape == (m, ho * wo * c_out)
+    np.testing.assert_array_equal(got_row, got_wt)
 
 
 def test_q8_conv3_tap_matches_conv_oracle():
@@ -202,15 +213,16 @@ def test_backend_w2_impl_is_pure_perf_knob(monkeypatch):
     # its 3x3 on a 16-px map (tap-eligible), layer3+ at <=4 px (wholetile)
     xq = rng.integers(-127, 127, (32, 4 * 4 * 256), dtype=np.int8)
     outs = {}
-    for impl in ("tap", "wholetile"):
+    for impl in ("tap", "rowtap", "wholetile"):
         monkeypatch.setattr(qt, "W2_IMPL", impl)
         params, metas = qt.build_q8_backend(trunk, scales, 4, 4)
         outs[impl] = np.asarray(
             qt.q8_backend_forward(params, metas, jnp.asarray(xq),
                                   interpret=True)
         )
-    assert any(m.w2_tap for m in metas) is False  # wholetile build
+    assert all(m.w2_impl == "wholetile" for m in metas)  # last build
     np.testing.assert_array_equal(outs["tap"], outs["wholetile"])
+    np.testing.assert_array_equal(outs["rowtap"], outs["wholetile"])
 
 
 def test_gemm_backend_ranking_matches_flax(monkeypatch):
