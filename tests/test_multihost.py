@@ -34,23 +34,25 @@ maybe_initialize()
 import jax
 import jax.numpy as jnp
 
-assert jax.process_count() == 2, jax.process_count()
-assert len(jax.devices()) == 4, jax.devices()
+pc = int(os.environ["CST_NUM_PROCESSES"])
+assert jax.process_count() == pc, jax.process_count()
+assert len(jax.devices()) == 2 * pc, jax.devices()
 
 from cellsegmentation_tpu.parallel.mesh import make_mesh
 from cellsegmentation_tpu.parallel.sharding import shard_batch
 from cellsegmentation_tpu import infer
 
-mesh = make_mesh(data=4, model=1)
+mesh = make_mesh(data=2 * pc, model=1)
 
 # (a) global dp batch assembled from process-local rows
 pi = jax.process_index()
 local_rows = np.arange(8, dtype=np.float32).reshape(2, 4) + 10 * pi
 batch = shard_batch(mesh, {"x": local_rows})
-assert batch["x"].shape == (4, 4), batch["x"].shape  # global across hosts
+assert batch["x"].shape == (2 * pc, 4), batch["x"].shape  # global
 total = float(jax.jit(jnp.sum)(batch["x"]))
-# rows of host 0 sum to 28, host 1 rows sum to 28 + 8*10
-assert abs(total - (28 + 28 + 80)) < 1e-6, total
+# each host's 2 rows sum to 28 + 8*10*pi
+want_total = sum(28 + 80 * p for p in range(pc))
+assert abs(total - want_total) < 1e-6, total
 
 # (b) disjoint round-robin sweep through infer.inference_tiles
 class Src:
@@ -81,6 +83,8 @@ want = (
 np.testing.assert_allclose(probs, want, rtol=1e-5)
 
 # each process must have computed only its share of the 4 batches
+# (pc=2: 2+2; pc=3: 2+1+1 — uneven shares + uneven merged row counts,
+# exercising merge_process_rows' allgather padding)
 n_batches = len(calls)
 assert 0 < n_batches < 4, n_batches
 
@@ -90,13 +94,14 @@ print("WORKER_OK", pi)
 """
 
 
-def test_two_process_bootstrap_and_disjoint_sweep(tmp_path):
+@pytest.mark.parametrize("pc", [2, 3])
+def test_multiprocess_bootstrap_and_disjoint_sweep(tmp_path, pc):
     port = _free_port()
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     procs = []
     outs = []
-    for pid in range(2):
+    for pid in range(pc):
         out = tmp_path / f"out{pid}.json"
         outs.append(out)
         env = dict(
@@ -105,7 +110,7 @@ def test_two_process_bootstrap_and_disjoint_sweep(tmp_path):
             JAX_PLATFORMS="cpu",
             XLA_FLAGS="--xla_force_host_platform_device_count=2",
             CST_COORDINATOR_ADDRESS=f"localhost:{port}",
-            CST_NUM_PROCESSES="2",
+            CST_NUM_PROCESSES=str(pc),
             CST_PROCESS_ID=str(pid),
             PYTHONPATH=REPO,
         )
@@ -130,7 +135,7 @@ def test_two_process_bootstrap_and_disjoint_sweep(tmp_path):
     results = [json.load(open(o)) for o in outs]
     # the 4 sweep batches were split between the processes
     assert sum(r["batches"] for r in results) == 4
-    assert {r["pi"] for r in results} == {0, 1}
+    assert {r["pi"] for r in results} == set(range(pc))
 
 
 def _free_port() -> int:

@@ -15,6 +15,8 @@ import sys
 import tempfile
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
@@ -27,6 +29,10 @@ from cellsegmentation_tpu.train.trainers import draw_pseudo_masks
 from cellsegmentation_tpu.utils.logging import RunLogger
 
 N = int(os.environ.get("N", "64"))
+# 0.95 (the serving default) keeps ~no tiles on random-init weights and
+# skips the painting path entirely; THRESH=0.5 forces a realistic kept
+# fraction so the number covers sweep + artifact clearing + painting
+THRESH = float(os.environ.get("THRESH", "0.5"))
 d = tempfile.mkdtemp()
 make_synthetic_h5(f"{d}/training.h5", n_images=N, image_size=299,
                   max_cells=20, seed=9)
@@ -36,10 +42,31 @@ model = build_model("resnet50")
 variables = init_variables(model, jax.random.PRNGKey(0))
 logger = RunLogger(d, tensorboard=False)
 
-draw_pseudo_masks(model, variables, src, image_batch=64, logger=logger)  # warm
+kwargs = dict(image_batch=64, threshold=THRESH, logger=logger)
+draw_pseudo_masks(model, variables, src, **kwargs)  # warm
 for _ in range(2):
     t0 = time.perf_counter()
-    draw_pseudo_masks(model, variables, src, image_batch=64, logger=logger)
+    masks = draw_pseudo_masks(model, variables, src, **kwargs)
     dt = time.perf_counter() - t0
-    print(f"{N} images ({N * 3249} tiles at 16/5) in {dt:.2f}s "
-          f"-> {N / dt:.1f} masks/s", flush=True)
+    print(f"{N} images ({N * 3249} tiles at 16/5, threshold {THRESH}, "
+          f"{int((masks > 0).any(axis=(1, 2)).sum())} non-empty masks) "
+          f"in {dt:.2f}s -> {N / dt:.1f} masks/s", flush=True)
+
+# On random-init weights no tile clears the threshold/count gates, so the
+# loop above times the sweep alone. Time the host-side painting separately
+# on a realistic kept fraction (~3% of tiles, the trained-run figure from
+# docs/VALIDATION.md) so the end-to-end estimate is honest:
+from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.postprocess.masks import generate_masks
+
+coords = tile_grid(299, 299, 16, 5)
+rng = np.random.default_rng(0)
+kept = rng.random((N, len(coords))) < 0.03
+groups, tile_idx = np.nonzero(kept)
+images = src.images[np.arange(N)]
+generate_masks(images, groups, coords[tile_idx], 16)  # warm
+t0 = time.perf_counter()
+generate_masks(images, groups, coords[tile_idx], 16)
+dt = time.perf_counter() - t0
+print(f"painting {kept.sum()} kept tiles (3%) on {N} images in {dt:.2f}s "
+      f"-> {N / dt:.1f} masks/s host-side", flush=True)
