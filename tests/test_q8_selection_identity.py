@@ -68,14 +68,20 @@ def trained_fixture(tmp_path_factory):
 @pytest.mark.parametrize(
     "engine,err_bound,tie_eps,flip_budget",
     [
-        # certified engine noise: observed max err ~0.010 (q8); the dense
-        # engine adds the stem/layer1 border approximation on top of int8
-        # noise, so its trained bounds are looser but still selection-safe
-        # (every flip must STILL be a sub-tie_eps numerical tie — the
-        # budget only caps how many ties this flat synthetic fixture may
-        # have; a broken engine fails err_bound/decisive-margin first)
+        # certified engine noise, backed by the REAL-geometry trained run
+        # (tools/check_q8dg_fidelity.py on hardware at 299/32/20, N=16,
+        # round 4): q8 max|dprob| 0.0103 / flips 7.9% / worst flip margin
+        # 0.0066; q8dg 0.0622 / 16.2% / 0.0288. The dense engine adds the
+        # stem/layer1 border approximation on top of int8 noise, so its
+        # bounds are looser but still selection-safe (every flip must
+        # STILL be a sub-tie_eps numerical tie — the budget only caps how
+        # many ties may occur; a broken engine fails err_bound /
+        # decisive-margin first). Budgets sit just above the measured
+        # rates at BOTH geometries: this flat 54² fixture measures 20.4%
+        # q8dg ties (88/432 — flatter probs → more boundary ties), the
+        # production run 16.2%.
         ("q8", 0.02, 0.011, 0.10),
-        ("q8dg", 0.06, 0.035, 0.25),
+        ("q8dg", 0.06, 0.035, 0.22),
     ],
 )
 def test_selection_identity_through_mil_cycle(
