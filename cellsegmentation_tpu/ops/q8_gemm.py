@@ -27,6 +27,7 @@ encoder is frozen, reference: model/resnet.py:315-319).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +35,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under the 16 MB limit
+# Scoped-VMEM budget for block picking. Mosaic's DEFAULT scoped limit is
+# ~16 MB, but the physical VMEM is far larger; raising the budget and
+# passing the matching vmem_limit_bytes lets bigger bm blocks enter the
+# ladder, amortizing weight-plane re-streaming across the revolving
+# K/tap grid. Hardware A/B at the bench geometry (bracketed by two
+# baseline runs, round 4): 12 MB -> 4,156 img/s, 24 -> 4,204, 48 ->
+# 4,233 (+1.9%, SERVING DEFAULT), 96 -> 4,151 (past the sweet spot the
+# jumbo blocks starve double-buffering). CST_VMEM_MB overrides
+# (CST_VMEM_MB=12 restores the conservative pre-round-4 model: naive
+# budget under the default scoped limit, no compiler param, no jumbo
+# blocks). The compiler's scoped accounting runs up to ~35% over this
+# naive block model (see the rowtap derate note below) — the passed
+# vmem_limit_bytes carries that headroom.
+_VMEM_MB = int(os.environ.get("CST_VMEM_MB", "48") or 0)
+_VMEM_BUDGET = (_VMEM_MB if _VMEM_MB else 12) * 1024 * 1024
+_COMPILER_PARAMS = (
+    pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_BUDGET + _VMEM_BUDGET // 3
+    )
+    if _VMEM_MB > 12
+    else None
+)
+# /960-aligned jumbo blocks only enter the ladder when the budget was
+# raised: first-fit picking would otherwise change serving block shapes
+# under the default budget without hardware validation.
+_BM_XL = (5760, 3840, 2880, 1920) if _VMEM_MB > 12 else ()
 
 
 def _pick_block(dim: int, candidates, fits=None) -> int:
@@ -120,7 +146,7 @@ def q8_matmul(
             <= _VMEM_BUDGET
         )
 
-    bm = bm or _pick_block(m, (1024, 960, 512, 256, 128, 64, 32), fits)
+    bm = bm or _pick_block(m, _BM_XL + (1024, 960, 512, 256, 128, 64, 32), fits)
     grid = (m // bm, n // bn, k // bk)
     out_dtype = {"int8": jnp.int8, "bf16": jnp.bfloat16, "int32": jnp.int32}[
         out_kind
@@ -162,6 +188,7 @@ def q8_matmul(
             transcendentals=0,
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
@@ -265,7 +292,7 @@ def q8_conv3_tap(
             <= _VMEM_BUDGET
         )
 
-    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+    bm = bm or _pick_block(m, _BM_XL + (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
 
     def x_idx(i, p, t):
         hi = jnp.clip(stride * (p // w_out) + t // 3 - 1, 0, h_in - 1)
@@ -309,6 +336,7 @@ def q8_conv3_tap(
             transcendentals=0,
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, w, bias.reshape(1, c_out), w_scale.reshape(1, c_out))
 
 
@@ -418,7 +446,7 @@ def q8_conv3_rowtap(
             <= _VMEM_BUDGET
         )
 
-    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+    bm = bm or _pick_block(m, _BM_XL + (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
 
     def x_idx(i, ho, dy):
         return (i, jnp.clip(stride * ho + dy - 1, 0, h_in - 1))
@@ -457,6 +485,7 @@ def q8_conv3_rowtap(
             transcendentals=0,
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, w, bias.reshape(1, n_cols), w_scale.reshape(1, n_cols))
 
 
@@ -543,7 +572,7 @@ def q8_matmul_px(
             <= _VMEM_BUDGET
         )
 
-    bm = bm or _pick_block(m, (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
+    bm = bm or _pick_block(m, _BM_XL + (2880, 1024, 960, 512, 256, 128, 64, 32), fits)
     has_res = residual is not None
     kernel = functools.partial(
         _bmm_kernel,
@@ -586,4 +615,5 @@ def q8_matmul_px(
             transcendentals=0,
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
