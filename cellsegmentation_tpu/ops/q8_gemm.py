@@ -61,6 +61,12 @@ _COMPILER_PARAMS = (
 # raised: first-fit picking would otherwise change serving block shapes
 # under the default budget without hardware validation.
 _BM_XL = (5760, 3840, 2880, 1920) if _VMEM_MB > 12 else ()
+# Jumbo output-column blocks for q8_matmul (the whole-tile 3x3 GEMMs,
+# N = px*c_out up to 2048): bn=N keeps the x block from re-streaming per
+# column block. Experimental gate — measured via CST_BN_XL=1.
+_BN_XL = (
+    (2048, 1024) if _VMEM_MB > 12 and os.environ.get("CST_BN_XL") else ()
+)
 
 
 def _pick_block(dim: int, candidates, fits=None) -> int:
@@ -135,7 +141,7 @@ def q8_matmul(
     """
     m, k = x.shape
     _, n = w.shape
-    bn = bn or _pick_block(n, (512, 256, 128))
+    bn = bn or _pick_block(n, _BN_XL + (512, 256, 128))
     bk = bk or _pick_block(k, (2048, 1024, 512, 384, 256, 128))
 
     def fits(c):  # double-buffered blocks + int32 accumulator
