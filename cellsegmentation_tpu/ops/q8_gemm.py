@@ -48,7 +48,14 @@ from jax.experimental.pallas import tpu as pltpu
 # blocks). The compiler's scoped accounting runs up to ~35% over this
 # naive block model (see the rowtap derate note below) — the passed
 # vmem_limit_bytes carries that headroom.
-_VMEM_MB = int(os.environ.get("CST_VMEM_MB", "48") or 0)
+# 48 MB was validated on a 128 MB-VMEM v5p-class chip; smaller-VMEM
+# generations should export CST_VMEM_MB=12 (the conservative model —
+# no compiler param, no jumbo blocks). A malformed env value falls back
+# to the default rather than failing at import.
+try:
+    _VMEM_MB = int(os.environ.get("CST_VMEM_MB", "48") or 0)
+except ValueError:
+    _VMEM_MB = 48
 _VMEM_BUDGET = (_VMEM_MB if _VMEM_MB else 12) * 1024 * 1024
 _COMPILER_PARAMS = (
     pltpu.CompilerParams(

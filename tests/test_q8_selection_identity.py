@@ -81,7 +81,10 @@ def trained_fixture(tmp_path_factory):
         # q8dg ties (88/432 — flatter probs → more boundary ties), the
         # production run 16.2%.
         ("q8", 0.02, 0.011, 0.10),
-        ("q8dg", 0.06, 0.035, 0.22),
+        # the fixture itself measures 20.4% ties (88/432), so the budget
+        # keeps a ~17-flip cushion for minor XLA numeric drift; the
+        # decisive-margin gate is the real regression tripwire
+        ("q8dg", 0.06, 0.035, 0.24),
     ],
 )
 def test_selection_identity_through_mil_cycle(

@@ -64,9 +64,11 @@ rng = np.random.default_rng(0)
 kept = rng.random((N, len(coords))) < 0.03
 groups, tile_idx = np.nonzero(kept)
 images = src.images[np.arange(N)]
-generate_masks(images, groups, coords[tile_idx], 16)  # warm
+# save_masks=False: time the painting alone, not cv2 PNG encode + disk
+# writes (and keep the repo tree clean — advisor finding, round 4)
+generate_masks(images, groups, coords[tile_idx], 16, save_masks=False)  # warm
 t0 = time.perf_counter()
-generate_masks(images, groups, coords[tile_idx], 16)
+generate_masks(images, groups, coords[tile_idx], 16, save_masks=False)
 dt = time.perf_counter() - t0
 print(f"painting {kept.sum()} kept tiles (3%) on {N} images in {dt:.2f}s "
       f"-> {N / dt:.1f} masks/s host-side", flush=True)
