@@ -554,6 +554,7 @@ def draw_pseudo_masks(
     preprocess: bool = False,
     output_path: Optional[str] = None,
     logger: Optional[RunLogger] = None,
+    engine: str = "auto",
 ) -> np.ndarray:
     """Stage-3 pseudo-mask generation (reference: train_seg.py:219-276).
 
@@ -570,7 +571,7 @@ def draw_pseudo_masks(
     # — the serving engine pays off most here (encoder frozen at this point)
     infer_tiles_fn = steps_mod.make_tile_infer_step(
         model, tile_size, tile_grid(h, w, tile_size, interval),
-        variables=variables, engine="auto",
+        variables=variables, engine=engine,
         calib_images=infer_engine_mod.pick_calib_images(source.images),
     )
     probs = infer.inference_tiles(

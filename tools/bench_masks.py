@@ -42,7 +42,8 @@ model = build_model("resnet50")
 variables = init_variables(model, jax.random.PRNGKey(0))
 logger = RunLogger(d, tensorboard=False)
 
-kwargs = dict(image_batch=64, threshold=THRESH, logger=logger)
+ENGINE = os.environ.get("ENGINE", "auto")
+kwargs = dict(image_batch=64, threshold=THRESH, logger=logger, engine=ENGINE)
 draw_pseudo_masks(model, variables, src, **kwargs)  # warm
 for _ in range(2):
     t0 = time.perf_counter()

@@ -30,19 +30,24 @@ def capture(out_dir: str) -> None:
     from cellsegmentation_tpu.ops.tiles import tile_grid
     from cellsegmentation_tpu.train import steps as steps_mod
 
-    coords = tile_grid(299, 299, 32, 20)
+    # geometry overrides: CST_PROFILE_TS/IV/G profile other sweeps (e.g.
+    # the stage-3 16/5 pseudo-mask grid: TS=16 IV=5 G=64)
+    ts = int(os.environ.get("CST_PROFILE_TS", "32"))
+    iv = int(os.environ.get("CST_PROFILE_IV", "20"))
+    g = int(os.environ.get("CST_PROFILE_G", "192"))
+    coords = tile_grid(299, 299, ts, iv)
     model = build_model("resnet50")
     variables = init_variables(model, jax.random.PRNGKey(0))
     rng = np.random.default_rng(0)
-    b = jnp.asarray(rng.integers(0, 255, size=(192, 299, 299, 3), dtype=np.uint8))
-    flip = np.zeros((192,), np.int32)  # host: hits the flip-free dense graph
+    b = jnp.asarray(rng.integers(0, 255, size=(g, 299, 299, 3), dtype=np.uint8))
+    flip = np.zeros((g,), np.int32)  # host: hits the flip-free dense graph
     engine = os.environ.get("CST_PROFILE_ENGINE", "q8")  # q8|q8g|q8d|q8dg|flax
     kwargs = (
         dict(variables=variables, engine=engine, calib_images=np.asarray(b[:4]))
         if engine in ("q8", "q8g", "q8d", "q8dg", "auto")
         else {}
     )
-    infer = steps_mod.make_tile_infer_step(model, 32, coords, **kwargs)
+    infer = steps_mod.make_tile_infer_step(model, ts, coords, **kwargs)
     float(jnp.sum(infer(variables, b, flip)))  # compile + warm
     jax.profiler.start_trace(out_dir)
     sums = [jnp.sum(infer(variables, b, flip)) for _ in range(4)]
