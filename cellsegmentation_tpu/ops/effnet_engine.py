@@ -94,8 +94,10 @@ def fold_effnet_trunk(model, variables) -> Optional[EffFoldedTrunk]:
     enc = model.encoder
     if not isinstance(enc, EfficientNetEncoder):
         return None
-    params = variables["params"]["encoder"]
-    stats = variables["batch_stats"]["encoder"]
+    # one batched device->host fetch (per-array fetches are one tunnel RPC
+    # each — see ops/infer_engine.fold_tile_trunk)
+    params = jax.device_get(variables["params"]["encoder"])
+    stats = jax.device_get(variables["batch_stats"]["encoder"])
     metas = effnet_block_metas(enc.width_mult, enc.depth_mult)
 
     stem = _fold(params["_ConvNormSiLU_0"], stats["_ConvNormSiLU_0"])
@@ -115,10 +117,10 @@ def fold_effnet_trunk(model, variables) -> Optional[EffFoldedTrunk]:
         blk["proj"] = _fold(bp[names[2]], bs[names[2]])
         se = bp["SqueezeExcitation_0"]
         blk["se"] = (
-            jnp.asarray(se["Conv_0"]["kernel"], jnp.bfloat16),
-            jnp.asarray(se["Conv_0"]["bias"], jnp.float32),
-            jnp.asarray(se["Conv_1"]["kernel"], jnp.bfloat16),
-            jnp.asarray(se["Conv_1"]["bias"], jnp.float32),
+            np.asarray(se["Conv_0"]["kernel"]).astype(jnp.bfloat16),
+            np.asarray(se["Conv_0"]["bias"], np.float32),
+            np.asarray(se["Conv_1"]["kernel"]).astype(jnp.bfloat16),
+            np.asarray(se["Conv_1"]["bias"], np.float32),
         )
         blocks.append(blk)
     widen = _fold(params["_ConvNormSiLU_1"], stats["_ConvNormSiLU_1"])

@@ -28,6 +28,7 @@ is stage-2's prob *ranking* (top-k selection), validated directly.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import List, Optional, Sequence
 
 import jax
@@ -51,11 +52,17 @@ _POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
 
 
 def fold_conv_bn(kernel, scale, bias, mean, var, eps: float = 1e-5):
-    """conv(x, w) -> BN  ≡  conv(x, w·g) + (b - m·g), g = γ/√(σ²+ε)."""
-    g = scale / np.sqrt(var + eps)
+    """conv(x, w) -> BN  ≡  conv(x, w·g) + (b - m·g), g = γ/√(σ²+ε).
+
+    Returns HOST (numpy) bf16/f32 arrays: folding runs on already-fetched
+    weights and the finished tree crosses to the device ONCE per build
+    (``jax.device_put`` at the call sites). Per-tensor jnp wrapping here
+    used to cost one tunnel RPC per array — ~10 s of the stage-3 engine
+    build (docs/PERF.md)."""
+    g = np.asarray(scale) / np.sqrt(np.asarray(var) + eps)
     w = (np.asarray(kernel) * g).astype(np.float32)
-    b = (bias - mean * g).astype(np.float32)
-    return jnp.asarray(w, jnp.bfloat16), jnp.asarray(b, jnp.float32)
+    b = (np.asarray(bias) - np.asarray(mean) * g).astype(np.float32)
+    return w.astype(jnp.bfloat16), b
 
 
 def _fold_cba(params: dict, stats: dict):
@@ -107,8 +114,10 @@ def fold_tile_trunk(model: MILNet, variables: dict) -> Optional[FoldedTrunk]:
         return None
     n_convs = 3 if kind == "bottleneck" else 2
 
-    params = variables["params"]["encoder"]
-    stats = variables["batch_stats"]["encoder"]
+    # one batched device->host fetch for the whole encoder: folding reads
+    # every tensor, and per-array fetches are one tunnel round-trip each
+    params = jax.device_get(variables["params"]["encoder"])
+    stats = jax.device_get(variables["batch_stats"]["encoder"])
     stem_w, stem_b = fold_conv_bn(
         params["conv1"]["kernel"],
         np.asarray(params["bn1"]["scale"]),
@@ -439,16 +448,23 @@ def calibrate_trunk(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("stride", "groups"))
+def _np_conv3_jit(aa, kk, stride: int, groups: int):
+    return jax.lax.conv_general_dilated(
+        aa, kk, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+
+
 def _np_conv3(a, k, stride, groups=1):
+    # module-level jit (not a per-call lambda): repeated shapes across the
+    # calibration's block walk hit the in-process jit cache, and repeated
+    # builds hit the persistent compilation cache — a per-call lambda
+    # recompiled every conv (a measured chunk of engine-build latency)
     with jax.default_device(jax.devices("cpu")[0]):
         return np.asarray(
-            jax.jit(
-                lambda aa, kk: jax.lax.conv_general_dilated(
-                    aa, kk, (stride, stride), ((1, 1), (1, 1)),
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    feature_group_count=groups,
-                )
-            )(jnp.asarray(a), jnp.asarray(k))
+            _np_conv3_jit(jnp.asarray(a), jnp.asarray(k), stride, groups)
         )
 
 
@@ -554,7 +570,7 @@ def make_fast_tile_logits(
         return _make_effnet_fast_logits(model, variables, calib_tiles)
 
     strides = tuple(trunk.strides)
-    trunk_tree = trunk.tree()
+    trunk_tree = jax.device_put(trunk.tree())  # one batched host->device put
     if trunk.kind != "bottleneck" or trunk.groups != 1:
         backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
 
@@ -572,7 +588,7 @@ def make_fast_tile_logits(
         qparams, qmetas = build_q8_backend(trunk, scales, h_in, w_in)
         s0 = float(scales.block_out[0][-1])
         interpret = jax.default_backend() == "cpu"
-        full_tree = (trunk_tree, qparams)
+        full_tree = (trunk_tree, jax.device_put(qparams))
 
         hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
 
@@ -627,7 +643,7 @@ def _make_effnet_fast_logits(model, variables, calib_tiles):
         else None
     )
     metas = trunk.metas
-    tree = trunk.tree()
+    tree = jax.device_put(trunk.tree())  # one batched host->device put
 
     def fast_logits(head_params, tree, x):
         x4 = effnet_forward(tree, metas, x, scales=scales)
@@ -676,7 +692,7 @@ def make_dense_tile_probs(
         backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
 
     strides = tuple(trunk.strides)
-    trunk_tree = trunk.tree()
+    trunk_tree = jax.device_put(trunk.tree())  # one batched host->device put
     calib = np.asarray(calib_tiles, np.float32)
     deep = backend == "gemm"
     scales = calibrate_trunk(trunk, calib, deep=deep)
@@ -703,7 +719,7 @@ def make_dense_tile_probs(
             first_stage=gemm_first_stage, first_block=gemm_first_block,
         )
         hf, wf, cf = qmetas[-1].h_out, qmetas[-1].w_out, qmetas[-1].c_out
-        tree = (trunk_tree, qparams)
+        tree = (trunk_tree, jax.device_put(qparams))
     else:
         tree = trunk_tree
 

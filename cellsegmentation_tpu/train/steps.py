@@ -111,8 +111,14 @@ def make_image_train_step(
     return step
 
 
+@functools.lru_cache(maxsize=8)
 def make_image_infer_step(model: MILNet):
-    """(variables, images u8, flip) -> (cls_probs [B,7], counts [B] f32)."""
+    """(variables, images u8, flip) -> (cls_probs [B,7], counts [B] f32).
+
+    Cached per model (flax Modules hash by config): callers like
+    draw_pseudo_masks rebuild their steps every call, and a fresh jit
+    closure re-traces the full image graph each time (~1-2 s of host time
+    per call in the stage-3 sweep decomposition, docs/PERF.md)."""
 
     @jax.jit
     def infer(variables, images, flip):
@@ -415,19 +421,46 @@ def make_stack_tile_infer_step(
     if fast is not None:
         fast_logits, trunk_tree = fast
 
-        @jax.jit
-        def infer_q8(head_params, trunk_tree, images_stack, idx, flip):
-            imgs = jnp.take(images_stack, idx, axis=0)
-            if dp_spec is not None:
-                imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
+        def q8_probs_body(head_params, tree, imgs, flip):
             g = imgs.shape[0]
             tiles = extract_tiles(imgs, coords, tile_size)
             t = tiles.shape[1]
             flat = tiles.reshape(g * t, tile_size, tile_size, 3)
             x = normalize_images(flat, jnp.repeat(flip, t), dtype=jnp.bfloat16)
-            logits = fast_logits(head_params, trunk_tree, x)
+            logits = fast_logits(head_params, tree, x)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)[:, 1]
             return probs.reshape(g, t)
+
+        if mesh is not None:
+            # shard_map, not a bare sharding constraint: the q8g per-tile
+            # path ends in Pallas GEMM custom calls the SPMD partitioner
+            # can't split (it would replicate the full sweep per chip).
+            # Every row is per-image independent, so mapping the data axis
+            # is exact — this is the multi-chip path for the stage-3 16/5
+            # pseudo-mask sweep (reference: the dead DistributedSampler
+            # branch at train_seg.py:169-180).
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from cellsegmentation_tpu.parallel.mesh import DATA_AXIS
+
+            sharded_q8 = shard_map(
+                q8_probs_body, mesh=mesh,
+                in_specs=(P(), P(), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS),
+                check_vma=False,
+            )
+
+            @jax.jit
+            def infer_q8(head_params, trunk_tree, images_stack, idx, flip):
+                imgs = jnp.take(images_stack, idx, axis=0)
+                imgs = jax.lax.with_sharding_constraint(imgs, dp_spec)
+                return sharded_q8(head_params, trunk_tree, imgs, flip)
+        else:
+            @jax.jit
+            def infer_q8(head_params, trunk_tree, images_stack, idx, flip):
+                imgs = jnp.take(images_stack, idx, axis=0)
+                return q8_probs_body(head_params, trunk_tree, imgs, flip)
 
         def infer_with_engine(variables_in, images_stack, idx, flip):
             return infer_q8(
@@ -599,9 +632,11 @@ def make_seg_train_step(model: MILNet):
     return step
 
 
+@functools.lru_cache(maxsize=8)
 def make_seg_infer_step(model: MILNet):
     """(variables, images u8, flip) -> P(positive) mask [B,H,W]
-    (reference: inference.py:140-153, test mode takes softmax channel 1)."""
+    (reference: inference.py:140-153, test mode takes softmax channel 1).
+    Cached per model — see make_image_infer_step."""
 
     @jax.jit
     def infer(variables, images, flip):

@@ -43,6 +43,10 @@ class Stage1Result:
 class Stage2Result:
     state: MILTrainState
     last_metrics: Optional[tuple] = None  # (err, fpr, fnr)
+    # per-epoch sampled tile sets ({'img_idx','xs','ys','label'}), recorded
+    # when train_stage2(record_selection=True) — the engine outcome A/B
+    # (docs/VALIDATION.md) diffs these between serving engines
+    selections: Optional[list] = None
 
 
 @dataclasses.dataclass
@@ -285,6 +289,7 @@ def train_stage2(
     last_epoch: int = 0,
     resume_opt_state=None,
     infer_engine: str = "auto",
+    record_selection: bool = False,
 ) -> Stage2Result:
     """PT.2 MIL tile-classifier training — the adaptive top-k cycle
     (reference: train_tile.py:71-156 + SURVEY §3.2).
@@ -445,6 +450,7 @@ def train_stage2(
         return out
 
     last_metrics = None
+    selections = [] if record_selection else None
     for epoch in range(1 + last_epoch, epochs + 1):
         try:
             # Schedules are sized from nominal_steps but the real per-epoch
@@ -471,6 +477,11 @@ def train_stage2(
                 f"[stage2 epoch {epoch}/{epochs}] sampled pos={train_data['n_pos']} "
                 f"neg={train_data['n_neg']}"
             )
+            if record_selection:
+                selections.append({
+                    k: np.asarray(train_data[k])
+                    for k in ("img_idx", "xs", "ys", "label")
+                })
             # 3) CE training over the selected tiles
             n_sel = len(train_data["label"])
             it = _host_iter(
@@ -539,7 +550,9 @@ def train_stage2(
             logger.info(f"interrupted at epoch {epoch}; checkpoint saved")
             raise
 
-    return Stage2Result(state=state, last_metrics=last_metrics)
+    return Stage2Result(
+        state=state, last_metrics=last_metrics, selections=selections
+    )
 
 
 def draw_pseudo_masks(
@@ -555,6 +568,7 @@ def draw_pseudo_masks(
     output_path: Optional[str] = None,
     logger: Optional[RunLogger] = None,
     engine: str = "auto",
+    infer_tiles_fn=None,
 ) -> np.ndarray:
     """Stage-3 pseudo-mask generation (reference: train_seg.py:219-276).
 
@@ -562,6 +576,12 @@ def draw_pseudo_masks(
     → artifact clearing (drop tiles on images whose predicted count is 0,
     via the image head) → paint tile blocks (+ optional HSV refinement).
     Returns [N, H, W] uint8 masks.
+
+    ``infer_tiles_fn``: an already-built tile-inference step (from
+    make_tile_infer_step with the matching grid/engine) — pass it to reuse
+    one engine build across repeated sweeps; the q8 build (weight fold +
+    calibration + compile) is a few seconds of one-time cost that a fresh
+    build pays on every call (docs/PERF.md stage-3 decomposition).
     """
     from cellsegmentation_tpu.postprocess.masks import generate_masks
 
@@ -569,11 +589,12 @@ def draw_pseudo_masks(
     h, w = source.image_hw
     # the 16/5 grid is the densest sweep in the pipeline (~3.3k tiles/image)
     # — the serving engine pays off most here (encoder frozen at this point)
-    infer_tiles_fn = steps_mod.make_tile_infer_step(
-        model, tile_size, tile_grid(h, w, tile_size, interval),
-        variables=variables, engine=engine,
-        calib_images=infer_engine_mod.pick_calib_images(source.images),
-    )
+    if infer_tiles_fn is None:
+        infer_tiles_fn = steps_mod.make_tile_infer_step(
+            model, tile_size, tile_grid(h, w, tile_size, interval),
+            variables=variables, engine=engine,
+            calib_images=infer_engine_mod.pick_calib_images(source.images),
+        )
     probs = infer.inference_tiles(
         source, infer_tiles_fn, variables, tile_size, interval,
         image_batch=image_batch,

@@ -209,6 +209,55 @@ class TestDenseStackSweepSharding:
         )
 
 
+class TestPerTileStackSweepSharding:
+    def test_q8g_16_5_sweep_on_mesh_matches_unsharded(self, rng, monkeypatch):
+        """The stage-3 16/5 pseudo-mask sweep's per-tile engine under a
+        mesh: the q8g path ends in Pallas GEMM custom calls the SPMD
+        partitioner can't split, so make_stack_tile_infer_step shard_maps
+        the per-tile body over the data axis. Each chip must sweep only its
+        image shard and the result must match the unsharded engine
+        (multi-chip spec: replacing the reference's dead DistributedSampler
+        path, train_seg.py:169-180)."""
+        from cellsegmentation_tpu.ops import q8_trunk
+        from cellsegmentation_tpu.ops.tiles import tile_grid
+
+        monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)  # CPU interpret mode
+
+        hw, ts, interval, g = 44, 16, 5, 8  # the stage-3 grid geometry
+        model = build_model("resnet50")
+        variables = init_variables(model, jax.random.PRNGKey(0))
+        mesh = make_mesh(data=4, model=2)
+        images = rng.integers(0, 255, size=(10, hw, hw, 3), dtype=np.uint8)
+        stack = replicate_tree(mesh, images)
+        coords = tile_grid(hw, hw, ts, interval)
+        flip = np.zeros((g,), np.int32)  # mask drawing sweeps flip-free
+
+        sweep = steps.make_stack_tile_infer_step(
+            model, ts, coords, mesh, variables=variables, engine="q8g",
+            calib_images=images[:2],
+        )
+        assert sweep.resolved_engine == "q8g"
+        batch = shard_batch(
+            mesh, {"idx": np.arange(g, dtype=np.int32), "flip": flip}
+        )
+        vars_r = replicate_tree(
+            mesh, jax.tree_util.tree_map(np.asarray, variables)
+        )
+        probs = sweep(vars_r, stack, batch["idx"], batch["flip"])
+        assert probs.shape == (g, coords.shape[0])
+        row_counts = {s.data.shape[0] for s in probs.addressable_shards}
+        assert row_counts == {2}
+
+        plain = steps.make_tile_infer_step(
+            model, ts, coords, variables=variables, engine="q8g",
+            calib_images=images[:2],
+        )
+        expected = plain(variables, jnp.asarray(images[:g]), flip)
+        np.testing.assert_allclose(
+            np.asarray(probs), np.asarray(expected), rtol=0, atol=2e-3
+        )
+
+
 class TestEnsembleMeshInProcess:
     def test_ensemble_folds_on_tp_mesh(self, tmp_path):
         """A fleet of per-fold models trained in-process on the (4,2) dp+tp

@@ -1,11 +1,18 @@
-"""Measure stage-3 pseudo-mask drawing throughput (16/5 grid, q8 engine).
+"""Measure stage-3 pseudo-mask drawing throughput (16/5 grid).
 
-Records the masks/s number for docs/VALIDATION.md. The 16/5 sweep is the
-densest in the pipeline (~3,249 tiles/image, 9.63x pixel-redundant) and
-structurally cannot share stem compute (docs/PERF.md), so it serves the
-per-tile q8 engine. Run on a real chip:
+Decomposes the number tools like this used to conflate (round-4 recorded
+"6.2 masks/s" — 94% of which was one-time engine build amortized over a
+single 64-image batch):
 
-    python tools/bench_masks.py
+  1. engine build: weight fold + int8 calibration + trace/compile — paid
+     once per draw_pseudo_masks call (or once per process with a prebuilt
+     ``infer_tiles_fn``);
+  2. steady-state end-to-end masks/s: sweep + threshold + artifact
+     clearing, engine prebuilt — the marginal rate a production LYSTO run
+     (~20k images, reference train_seg.py:219-276) sees;
+  3. host-side painting at a realistic kept fraction.
+
+Run on a real chip:  ENGINE=auto N=64 python tools/bench_masks.py
 """
 
 from __future__ import annotations
@@ -25,6 +32,9 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
 from cellsegmentation_tpu.models import build_model, init_variables
+from cellsegmentation_tpu.ops import infer_engine as infer_engine_mod
+from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.train import steps as steps_mod
 from cellsegmentation_tpu.train.trainers import draw_pseudo_masks
 from cellsegmentation_tpu.utils.logging import RunLogger
 
@@ -43,21 +53,36 @@ variables = init_variables(model, jax.random.PRNGKey(0))
 logger = RunLogger(d, tensorboard=False)
 
 ENGINE = os.environ.get("ENGINE", "auto")
-kwargs = dict(image_batch=64, threshold=THRESH, logger=logger, engine=ENGINE)
-draw_pseudo_masks(model, variables, src, **kwargs)  # warm
+
+# 1. engine build (weight fold + calibration + trace; compile lands on the
+# first dispatch inside the warm call below)
+t0 = time.perf_counter()
+infer_tiles_fn = steps_mod.make_tile_infer_step(
+    model, 16, tile_grid(299, 299, 16, 5),
+    variables=variables, engine=ENGINE,
+    calib_images=infer_engine_mod.pick_calib_images(src.images),
+)
+t_build = time.perf_counter() - t0
+print(f"engine build ({ENGINE} -> {infer_tiles_fn.resolved_engine}): "
+      f"{t_build:.2f}s one-time", flush=True)
+
+kwargs = dict(image_batch=64, threshold=THRESH, logger=logger,
+              infer_tiles_fn=infer_tiles_fn)
+draw_pseudo_masks(model, variables, src, **kwargs)  # warm (compile)
+
+# 2. steady-state end-to-end (sweep + threshold + artifact clearing)
 for _ in range(2):
     t0 = time.perf_counter()
     masks = draw_pseudo_masks(model, variables, src, **kwargs)
     dt = time.perf_counter() - t0
     print(f"{N} images ({N * 3249} tiles at 16/5, threshold {THRESH}, "
           f"{int((masks > 0).any(axis=(1, 2)).sum())} non-empty masks) "
-          f"in {dt:.2f}s -> {N / dt:.1f} masks/s", flush=True)
+          f"in {dt:.2f}s -> {N / dt:.1f} masks/s steady-state", flush=True)
 
-# On random-init weights no tile clears the threshold/count gates, so the
-# loop above times the sweep alone. Time the host-side painting separately
-# on a realistic kept fraction (~3% of tiles, the trained-run figure from
-# docs/VALIDATION.md) so the end-to-end estimate is honest:
-from cellsegmentation_tpu.ops.tiles import tile_grid
+# 3. On random-init weights no tile clears the threshold/count gates, so
+# the loop above times the sweep alone. Time the host-side painting
+# separately on a realistic kept fraction (~3% of tiles, the trained-run
+# figure from docs/VALIDATION.md) so the end-to-end estimate is honest:
 from cellsegmentation_tpu.postprocess.masks import generate_masks
 
 coords = tile_grid(299, 299, 16, 5)

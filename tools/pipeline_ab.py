@@ -1,0 +1,168 @@
+"""Outcome-level serving-engine closure: run the full 3-stage pipeline
+twice — ``--infer_engine flax`` vs ``auto`` (q8dg at stage-2, q8 at
+stage-3) — from one shared stage-1 checkpoint, and diff what comes out the
+other end (VERDICT r4 item 2):
+
+  - per-epoch selected-tile set Jaccard overlap (stage-2 selection cycle,
+    reference: inference.py:31-43),
+  - final tile CE + val tile error,
+  - pseudo-mask agreement IoU between engines and IoU vs the synthetic
+    blob GT (reference: train_seg.py:219-276),
+  - stage-3 decoder final dice,
+  - detection P/R/F1 of mask-derived centers vs the synthetic GT centers.
+
+Prints a markdown table for docs/VALIDATION.md. Run on the TPU:
+
+    python tools/pipeline_ab.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
+from cellsegmentation_tpu.detect.metrics import get_prf1
+from cellsegmentation_tpu.models import build_model, init_variables
+from cellsegmentation_tpu.train import steps as steps_mod
+from cellsegmentation_tpu.train.trainers import (
+    draw_pseudo_masks,
+    train_stage1,
+    train_stage2,
+    train_stage3,
+)
+from cellsegmentation_tpu.utils.logging import RunLogger
+
+N = int(os.environ.get("N", "48"))
+S2_EPOCHS = int(os.environ.get("S2_EPOCHS", "3"))
+S3_EPOCHS = int(os.environ.get("S3_EPOCHS", "2"))
+
+d = tempfile.mkdtemp()
+gen = make_synthetic_h5(f"{d}/training.h5", n_images=N, image_size=299,
+                        max_cells=12, seed=7)
+train_src = LystoDataSource(f"{d}/training.h5", train=True, kfold=4, seed=0)
+val_src = LystoDataSource(f"{d}/training.h5", train=False, kfold=4)
+# masks are drawn over the full set, mirroring cli/train_seg.py:81
+full_src = LystoDataSource(f"{d}/training.h5", train=True, kfold=None, seed=0)
+
+model = build_model("resnet50")
+variables = init_variables(model, jax.random.PRNGKey(0))
+
+print(f"stage 1 (shared): {len(train_src)} train / {len(val_src)} val ...",
+      flush=True)
+t0 = time.perf_counter()
+r1 = train_stage1(
+    model, variables, train_src, val_src, epochs=2, batch_size=8, lr=1e-3,
+    test_every=2, encoder_name="resnet50",
+    logger=RunLogger(f"{d}/s1", tensorboard=False), seed=0,
+)
+v1 = jax.device_get(r1.state.variables)
+print(f"  done in {time.perf_counter() - t0:.0f}s", flush=True)
+
+
+def tile_sel_key(sel):
+    return set(zip(sel["img_idx"].tolist(), sel["xs"].tolist(),
+                   sel["ys"].tolist()))
+
+
+def mask_centers(mask: np.ndarray) -> np.ndarray:
+    """Connected-component centroids of one [H, W] binary mask."""
+    from scipy import ndimage
+
+    lab, n = ndimage.label(mask > 0)
+    if n == 0:
+        return np.zeros((0, 2))
+    return np.asarray(ndimage.center_of_mass(mask > 0, lab, range(1, n + 1)))
+
+
+results = {}
+for eng in ("flax", "auto"):
+    print(f"=== engine={eng} ===", flush=True)
+    t0 = time.perf_counter()
+    r2 = train_stage2(
+        model, jax.device_put(v1), train_src, val_src,
+        epochs=S2_EPOCHS, tile_batch_size=4096, image_batch=48,
+        lr=5e-4, test_every=S2_EPOCHS, encoder_name="resnet50",
+        logger=RunLogger(f"{d}/s2_{eng}", tensorboard=False), seed=0,
+        infer_engine=eng, record_selection=True,
+    )
+    v2 = jax.device_get(r2.state.variables)
+    print(f"  stage 2 in {time.perf_counter() - t0:.0f}s "
+          f"val={r2.last_metrics}", flush=True)
+
+    t0 = time.perf_counter()
+    masks = draw_pseudo_masks(
+        model, jax.device_put(v2), full_src, threshold=0.95,
+        image_batch=48, logger=RunLogger(f"{d}/s3_{eng}", tensorboard=False),
+        engine=eng,
+    )
+    print(f"  masks in {time.perf_counter() - t0:.0f}s "
+          f"({int((masks > 0).any(axis=(1, 2)).sum())} non-empty)", flush=True)
+
+    from cellsegmentation_tpu.data.masks import MaskDataSource
+
+    mask_src = MaskDataSource(f"{d}/training.h5", masks)
+    t0 = time.perf_counter()
+    r3 = train_stage3(
+        model, jax.device_put(v2), mask_src, epochs=S3_EPOCHS, batch_size=8,
+        lr=5e-5, encoder_name="resnet50",
+        logger=RunLogger(f"{d}/s3t_{eng}", tensorboard=False), seed=0,
+    )
+    print(f"  stage 3 in {time.perf_counter() - t0:.0f}s "
+          f"dice_loss={r3.last_loss}", flush=True)
+
+    # detection: predicted-mask centroids vs synthetic GT centers
+    seg_fn = steps_mod.make_seg_infer_step(model)
+    v3 = r3.state.variables
+    pred = np.asarray(
+        seg_fn(v3, full_src.images[:16], np.zeros(16, np.int32))
+    )
+    tp = fp = fn = 0
+    for i in range(16):
+        pts_hat = mask_centers(pred[i] > 0.5)
+        gt = gen["centers"][i]
+        _, _, _, tpi, fpi, fni = get_prf1(pts_hat, gt)
+        tp, fp, fn = tp + tpi, fp + fpi, fn + fni
+    p = tp / max(tp + fp, 1)
+    r = tp / max(tp + fn, 1)
+    f1 = 2 * p * r / max(p + r, 1e-9)
+
+    results[eng] = dict(
+        selections=r2.selections, val=r2.last_metrics, masks=masks,
+        dice=r3.last_loss, prf1=(p, r, f1),
+    )
+
+# ---- diff table
+a, b = results["flax"], results["auto"]
+print("\n| outcome | flax | auto (q8dg/q8) | delta |")
+print("|---|---|---|---|")
+for e in range(S2_EPOCHS):
+    ka, kb = tile_sel_key(a["selections"][e]), tile_sel_key(b["selections"][e])
+    j = len(ka & kb) / max(len(ka | kb), 1)
+    print(f"| epoch-{e + 1} selected-tile Jaccard | {len(ka)} tiles | "
+          f"{len(kb)} tiles | {j:.3f} overlap |")
+print(f"| val tile (err, fpr, fnr) | {a['val']} | {b['val']} | - |")
+ma, mb = a["masks"] > 0, b["masks"] > 0
+inter, union = (ma & mb).sum(), (ma | mb).sum()
+print(f"| pseudo-mask IoU (engines) | - | - | "
+      f"{inter / max(union, 1):.4f} |")
+gt_blob = full_src.images.mean(axis=-1) < 160
+for name, mm in (("flax", ma), ("auto", mb)):
+    i2, u2 = (mm & gt_blob).sum(), (mm | gt_blob).sum()
+    print(f"| pseudo-mask IoU vs GT blobs ({name}) | | | "
+          f"{i2 / max(u2, 1):.4f} |")
+print(f"| stage-3 final dice loss | {a['dice']:.4f} | {b['dice']:.4f} | "
+      f"{abs(a['dice'] - b['dice']):.4f} |")
+print(f"| detection P/R/F1 | {a['prf1'][0]:.3f}/{a['prf1'][1]:.3f}/"
+      f"{a['prf1'][2]:.3f} | {b['prf1'][0]:.3f}/{b['prf1'][1]:.3f}/"
+      f"{b['prf1'][2]:.3f} | f1 {abs(a['prf1'][2] - b['prf1'][2]):.3f} |")
+print("DONE")
