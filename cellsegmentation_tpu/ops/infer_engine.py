@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -49,6 +50,15 @@ _INTRA_STAGES = 2
 # "shift" replaces the reduce_window maxpool with 9 strided-slice maxes.
 _STEM_IMPL = "conv"  # "conv" | "s2d"
 _POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
+
+# Gutter-packed mosaic formulation of the q8dg chain's conv-land layer2
+# (the last unexplored stage-2 formulation family, VERDICT r4 #3): pack the
+# 8x8-px tiles into large canvases with 2-px zero gutters so XLA's 3x3
+# convs run at large-map MXU utilization instead of the ~50% small-spatial
+# rate, re-zeroing the gutters each 3x3 reads (exact per-tile-zero-pad
+# semantics). 1.56x spatial overhead; A/B via CST_L2_MOSAIC=1.
+_L2_MOSAIC = os.environ.get("CST_L2_MOSAIC", "") == "1"
+_L2_MOSAIC_K = int(os.environ.get("CST_L2_MOSAIC_K", "24") or 24)
 
 
 def fold_conv_bn(kernel, scale, bias, mean, var, eps: float = 1e-5):
@@ -652,6 +662,78 @@ def _make_effnet_fast_logits(model, variables, calib_tiles):
     return fast_logits, tree
 
 
+def _layer2_mosaic_q8(patches, m0, stage_ws, stride, h1s, h2s, outs, s0, k):
+    """Layer2 on a gutter-packed tile mosaic — exact per-tile semantics.
+
+    ``patches``: int8 [M, 8, 8, C] tile patches (M may exceed m0 by row
+    padding upstream; rows beyond m0 are sliced away at the end). Packs
+    them into [n, k·10, k·10, C] canvases (2-px zero gutters), runs the
+    folded layer2 bottlenecks as large-map XLA convs, and returns the
+    whole-tile int8 seam rows [m0, 4·4·C_out] the GEMM backend consumes.
+
+    Exactness: a per-tile 3×3 with torch's symmetric zero padding reads at
+    most 1 px beyond the tile. On the mosaic that px is a gutter px, which
+    is re-zeroed (mask multiply, fused into the producing conv's epilogue)
+    on every tensor a 3×3 reads — the biased 1×1 outputs are nonzero in
+    the gutters, so masking block outputs alone would NOT be exact. The
+    1×1 convs and residual adds are pointwise and need no masking; block
+    0's stride-2 projection reads only even canvas px, all content.
+    Spatial layout: input pitch 10 (content [0..7]), post-stride pitch 5
+    (content [0..3]) — stride-2 outputs land on the integral lattice only
+    because the gutter is split (0 left, 2 right) so content starts at
+    canvas px 0 of each cell.
+    """
+    m_all, s, _, c = patches.shape
+    p, q = s + 2, (s + 2) // stride  # pitch 10 in, 5 out (stride 2)
+    per = k * k
+    n = -(-m_all // per)
+    x = jnp.pad(patches, ((0, n * per - m_all), (0, 2), (0, 2), (0, 0)))
+    x = x.reshape(n, k, k, p, p, c).transpose(0, 1, 3, 2, 4, 5)
+    x = x.reshape(n, k * p, k * p, c).astype(jnp.bfloat16)
+
+    r10 = np.arange(k * p) % p < s
+    mask10 = jnp.asarray(np.outer(r10, r10)[None, :, :, None], jnp.bfloat16)
+    r5 = np.arange(k * q) % q < s // stride
+    mask5 = jnp.asarray(np.outer(r5, r5)[None, :, :, None], jnp.bfloat16)
+
+    for bi, bw in enumerate(stage_ws):
+        if bi == 0:
+            # fold the patch dequant scale s0 into c1 + proj (the same
+            # fold0 trick as the per-tile plan loop: the s8->bf16 convert
+            # then fuses into the conv instead of materializing)
+            bw = tuple(
+                (w.astype(jnp.float32) * s0).astype(jnp.bfloat16)
+                if wi in (0, 6)
+                else w
+                for wi, w in enumerate(bw)
+            )
+        st = stride if bi == 0 else 1
+        mask = mask10 if bi == 0 else mask5
+        w1, b1, w2, b2, w3, b3 = bw[:6]
+        h = jnp.maximum(_cv(x, w1, 1, "VALID") + b1.astype(jnp.bfloat16), 0)
+        h = h * mask  # per-tile zero padding for the 3×3 below
+        h = _sandwich(h, h1s[bi])
+        h = jnp.maximum(
+            _cv(h, w2, st, ((1, 1), (1, 1))) + b2.astype(jnp.bfloat16), 0
+        )
+        h = _sandwich(h, h2s[bi])
+        out = _cv(h, w3, 1, "VALID") + b3.astype(jnp.bfloat16)
+        if len(bw) == 8:
+            res = _cv(x, bw[6], st, "VALID") + bw[7].astype(jnp.bfloat16)
+        else:
+            res = x
+        x = jnp.maximum(out + res, 0)
+        if bi < len(stage_ws) - 1:
+            x = _sandwich(x, outs[bi])
+
+    # quantize on the canvas (fuses into the last block's epilogue), then
+    # one int8 relayout gathers content px into whole-tile seam rows
+    xq = _q8(x, outs[len(stage_ws) - 1])
+    so, c_out = s // stride, xq.shape[-1]
+    xq = xq.reshape(n, k, q, k, q, c_out).transpose(0, 1, 3, 2, 4, 5)
+    return xq[:, :, :, :so, :so, :].reshape(n * per, so * so * c_out)[:m0]
+
+
 def make_dense_tile_probs(
     model: MILNet, variables: dict, tile_size: int, interval: int, hw: int,
     calib_tiles: np.ndarray, backend: str = "conv",
@@ -700,6 +782,19 @@ def make_dense_tile_probs(
     n_tiles = meta.n_all * meta.n_all
     span = tile_size // 4
     interpret = jax.default_backend() == "cpu"
+    # mosaic layer2 (CST_L2_MOSAIC=1): applies to the serving default
+    # split only — ungrouped bottleneck, all of layer2 in conv-land, the
+    # 8x8 span of the 32-px tile
+    use_mosaic = (
+        _L2_MOSAIC
+        and backend == "gemm"
+        and trunk.kind == "bottleneck"
+        and trunk.groups == 1
+        and gemm_first_stage == 2
+        and gemm_first_block == 0
+        and span == 8
+        and strides[1] == 2
+    )
 
     if deep:
         from cellsegmentation_tpu.ops.q8_trunk import (
@@ -781,6 +876,27 @@ def make_dense_tile_probs(
             )
             logits = _head_logits_flat(head_params, feats, hf * wf)[:m0]
         else:
+            if use_mosaic:
+                n_blk = len(conv_tree[2][1])
+                intra = 1 < _INTRA_STAGES
+                k = min(_L2_MOSAIC_K, max(1, int(np.ceil(np.sqrt(m0)))))
+                xq = _layer2_mosaic_q8(
+                    patches, m0, conv_tree[2][1], strides[1],
+                    scales.h1[1] if intra else [None] * n_blk,
+                    scales.h2[1] if intra else [None] * n_blk,
+                    scales.block_out[1], s0, k,
+                )
+                pad = (-m0) % TILE_ALIGN
+                if pad:
+                    xq = jnp.pad(xq, ((0, pad), (0, 0)))
+                feats = q8_backend_forward(
+                    tree[1], qmetas, xq, interpret=interpret
+                )
+                logits = _head_logits_flat(head_params, feats, hf * wf)[:m0]
+                probs = jax.nn.softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )[:, 1]
+                return unpermute_probs(meta, probs.reshape(g, n_tiles), flip)
             # feed the s8 patches to block0 with the dequant scale FOLDED
             # into its conv weights: the pure s8->bf16 convert can fuse
             # into the c1/proj conv fusions, where the explicit

@@ -197,3 +197,44 @@ def test_dense_noflip_graph_matches(engine, monkeypatch):
 
     assert spearmanr(p_ref, p).statistic > 0.8
     assert np.abs(p - p_ref).max() < 0.05
+
+
+def test_mosaic_layer2_matches_per_tile_conv_land(monkeypatch):
+    """CST_L2_MOSAIC: layer2 on gutter-packed canvases must be EXACT vs the
+    per-tile conv-land plan — a per-tile 3×3 reads at most 1 px beyond the
+    tile, and on the mosaic that px is a re-zeroed gutter, so every content
+    dot product is identical (infer_engine._layer2_mosaic_q8). Compares the
+    full q8dg probs mosaic-on vs mosaic-off (same calibration scales, same
+    GEMM backend; only the layer2 conv formulation differs)."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops import infer_engine, q8_trunk
+    from cellsegmentation_tpu.ops.infer_engine import (
+        calib_tiles_from_images, make_dense_tile_probs,
+    )
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+
+    monkeypatch.setattr(q8_trunk, "TILE_ALIGN", 32)
+
+    tile, interval, hw, g = 32, 20, 150, 2
+    model = build_model("resnet50")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    imgs = _structured_images(hw, g)
+    calib = calib_tiles_from_images(imgs, coords, tile)
+    head = variables["params"]["fc_tile"]
+
+    ps = {}
+    for mosaic in (False, True):
+        monkeypatch.setattr(infer_engine, "_L2_MOSAIC", mosaic)
+        fn, tree = make_dense_tile_probs(
+            model, variables, tile, interval, hw, calib, backend="gemm",
+        )
+        ps[mosaic] = np.asarray(
+            jax.jit(fn)(head, tree, jnp.asarray(imgs), None)
+        ).ravel()
+
+    # content dot products are identical; tiny diffs can only come from
+    # bf16 accumulation order inside XLA's conv at the different spatial
+    # size flipping an int8 quantization boundary
+    np.testing.assert_allclose(ps[True], ps[False], rtol=0, atol=2e-2)
+    assert np.abs(ps[True] - ps[False]).mean() < 2e-3

@@ -41,18 +41,34 @@ from cellsegmentation_tpu.train.state import create_train_state
 ENCODER = os.environ.get("ENCODER", "resnet50")
 STAGES = os.environ.get("STAGES", "s1 s2 s3").split()
 STEPS = int(os.environ.get("STEPS", "8"))
+# RESIDENT=1: pre-put the batches on device (cycled) so the number is the
+# device step rate — the host->device tunnel upload (e.g. 12.9 MB/step of
+# stage-1 images) is an artifact of the single-chip tunnel, not of the
+# framework's input pipeline (which overlaps uploads with compute on pods)
+RESIDENT = os.environ.get("RESIDENT", "") == "1"
 S1_BATCH = int(os.environ.get("S1_BATCH", "48"))
 S2_TILES = int(os.environ.get("S2_TILES", "40960"))
 S3_BATCH = int(os.environ.get("S3_BATCH", "32"))
 HW, TS = 299, 32
 
 model = build_model(ENCODER)
-variables = init_variables(model, jax.random.PRNGKey(0))
+# host-resident master copy: each stage's train step donates its state, so
+# stage N+1 must not alias arrays a stage-N step already consumed
+variables = jax.device_get(init_variables(model, jax.random.PRNGKey(0)))
 rng = np.random.default_rng(0)
 key = jax.random.PRNGKey(1)
 
 
 def timed_loop(name, state, step_fn, make_args, unit_per_step):
+    if RESIDENT:
+        pool = [
+            jax.tree_util.tree_map(
+                lambda a: jax.device_put(a) if isinstance(a, np.ndarray) else a,
+                make_args(),
+            )
+            for _ in range(4)
+        ]
+        make_args = lambda i=iter(range(10**9)): pool[next(i) % 4]  # noqa: E731
     # 2 warmup steps: compile + stats settle. donate_argnums donates the
     # state, so thread it through.
     for _ in range(2):
