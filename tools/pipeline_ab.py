@@ -30,12 +30,15 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
+from cellsegmentation_tpu import infer
 from cellsegmentation_tpu.data import LystoDataSource, make_synthetic_h5
 from cellsegmentation_tpu.detect.metrics import get_prf1
 from cellsegmentation_tpu.models import build_model, init_variables
+from cellsegmentation_tpu.ops import infer_engine as infer_engine_mod
+from cellsegmentation_tpu.ops.tiles import tile_grid
+from cellsegmentation_tpu.postprocess.masks import generate_masks
 from cellsegmentation_tpu.train import steps as steps_mod
 from cellsegmentation_tpu.train.trainers import (
-    draw_pseudo_masks,
     train_stage1,
     train_stage2,
     train_stage3,
@@ -43,12 +46,18 @@ from cellsegmentation_tpu.train.trainers import (
 from cellsegmentation_tpu.utils.logging import RunLogger
 
 N = int(os.environ.get("N", "48"))
-S2_EPOCHS = int(os.environ.get("S2_EPOCHS", "3"))
+S1_EPOCHS = int(os.environ.get("S1_EPOCHS", "12"))
+S2_EPOCHS = int(os.environ.get("S2_EPOCHS", "8"))
 S3_EPOCHS = int(os.environ.get("S3_EPOCHS", "2"))
-# the reference's production mask threshold is 0.95 (train_seg.py:41); a
-# briefly-trained synthetic fixture keeps fewer ultra-confident tiles, so
-# default lower to guarantee non-empty masks for the engine diff
-THRESH = float(os.environ.get("THRESH", "0.8"))
+# The reference's production mask threshold is 0.95 (train_seg.py:41) — an
+# absolute prob a briefly-trained synthetic fixture never reaches (its 16-px
+# tile probs top out well below the 32-px training confidence). The mask
+# threshold is a user hyperparameter in the reference CLI (train_seg.py -t);
+# here it is derived ONCE from the flax run's prob distribution (keep the
+# top KEEP_Q quantile) and the SAME absolute value is reused for the auto
+# engine, so the mask diff stays a pure engine A/B. THRESH overrides.
+THRESH = float(os.environ["THRESH"]) if "THRESH" in os.environ else None
+KEEP_Q = float(os.environ.get("KEEP_Q", "0.99"))
 
 d = tempfile.mkdtemp()
 gen = make_synthetic_h5(f"{d}/training.h5", n_images=N, image_size=299,
@@ -65,8 +74,8 @@ print(f"stage 1 (shared): {len(train_src)} train / {len(val_src)} val ...",
       flush=True)
 t0 = time.perf_counter()
 r1 = train_stage1(
-    model, variables, train_src, val_src, epochs=2, batch_size=8, lr=1e-3,
-    test_every=2, encoder_name="resnet50",
+    model, variables, train_src, val_src, epochs=S1_EPOCHS, batch_size=8, lr=1e-3,
+    test_every=S1_EPOCHS, encoder_name="resnet50",
     logger=RunLogger(f"{d}/s1", tensorboard=False), seed=0,
 )
 v1 = jax.device_get(r1.state.variables)
@@ -88,6 +97,10 @@ def mask_centers(mask: np.ndarray) -> np.ndarray:
     return np.asarray(ndimage.center_of_mass(mask > 0, lab, range(1, n + 1)))
 
 
+H, W = full_src.image_hw
+COORDS = tile_grid(H, W, 16, 5)  # the production 16/5 mask grid
+thresh = THRESH
+
 results = {}
 for eng in ("flax", "auto"):
     print(f"=== engine={eng} ===", flush=True)
@@ -103,14 +116,33 @@ for eng in ("flax", "auto"):
     print(f"  stage 2 in {time.perf_counter() - t0:.0f}s "
           f"val={r2.last_metrics}", flush=True)
 
+    # pseudo-mask drawing, inlined from trainers.draw_pseudo_masks
+    # (trainers.py:558-629) so both engines share one absolute threshold and
+    # the per-tile prob stats are visible
     t0 = time.perf_counter()
-    masks = draw_pseudo_masks(
-        model, jax.device_put(v2), full_src, threshold=THRESH,
-        image_batch=48, logger=RunLogger(f"{d}/s3_{eng}", tensorboard=False),
-        engine=eng,
+    v2d = jax.device_put(v2)
+    tiles_fn = steps_mod.make_tile_infer_step(
+        model, 16, COORDS, variables=v2d, engine=eng,
+        calib_images=infer_engine_mod.pick_calib_images(full_src.images),
     )
+    probs = infer.inference_tiles(full_src, tiles_fn, v2d, 16, 5,
+                                  image_batch=48)  # [N, T]
+    _, counts = infer.inference_image(
+        full_src, steps_mod.make_image_infer_step(model), v2d, batch_size=48
+    )
+    if thresh is None:  # flax runs first: derive the shared threshold
+        thresh = float(np.quantile(probs, KEEP_Q))
+    print(f"  16/5 probs: max {probs.max():.3f} mean {probs.mean():.3f} "
+          f"q{KEEP_Q:.2f} {np.quantile(probs, KEEP_Q):.3f} | shared thresh "
+          f"{thresh:.3f} | count==0 on {int((counts == 0).sum())}/{N} images",
+          flush=True)
+    keep = (probs > thresh) & (counts != 0)[:, None]
+    groups, tile_idx = np.nonzero(keep)
+    masks = generate_masks(full_src.images, groups, COORDS[tile_idx], 16,
+                           save_masks=False)
     print(f"  masks in {time.perf_counter() - t0:.0f}s "
-          f"({int((masks > 0).any(axis=(1, 2)).sum())} non-empty)", flush=True)
+          f"({int((masks > 0).any(axis=(1, 2)).sum())} non-empty, "
+          f"{int(keep.sum())} tiles kept)", flush=True)
 
     from cellsegmentation_tpu.data.masks import MaskDataSource
 
@@ -142,7 +174,7 @@ for eng in ("flax", "auto"):
 
     results[eng] = dict(
         selections=r2.selections, val=r2.last_metrics, masks=masks,
-        dice=r3.last_loss, prf1=(p, r, f1),
+        dice=r3.last_loss, prf1=(p, r, f1), probs=probs,
     )
 
 # ---- diff table
@@ -155,6 +187,9 @@ for e in range(S2_EPOCHS):
     print(f"| epoch-{e + 1} selected-tile Jaccard | {len(ka)} tiles | "
           f"{len(kb)} tiles | {j:.3f} overlap |")
 print(f"| val tile (err, fpr, fnr) | {a['val']} | {b['val']} | - |")
+dp = np.abs(a["probs"] - b["probs"])
+print(f"| 16/5-grid |dprob| (engine + s2-model divergence) | - | - | "
+      f"max {dp.max():.4f} / mean {dp.mean():.5f} |")
 ma, mb = a["masks"] > 0, b["masks"] > 0
 inter, union = (ma & mb).sum(), (ma | mb).sum()
 print(f"| pseudo-mask IoU (engines) | - | - | "
