@@ -21,6 +21,7 @@ def make_synthetic_h5(
     max_cells: int = 30,
     seed: int = 0,
     with_labels: bool = True,
+    cell_r2: tuple = (9, 36),
 ) -> dict:
     """Write a LYSTO-schema h5 file; returns the arrays for convenience."""
     import h5py
@@ -42,7 +43,7 @@ def make_synthetic_h5(
         centers.append(pts)
         yy, xx = np.mgrid[0:image_size, 0:image_size]
         for cy, cx in pts:
-            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= rng.integers(9, 36)
+            blob = (yy - cy) ** 2 + (xx - cx) ** 2 <= rng.integers(*cell_r2)
             # dark DAB-brown-ish cells on a bright background
             images[i][blob] = rng.integers(40, 110, size=3, dtype=np.uint8)
         noise = rng.integers(-12, 12, size=images[i].shape)
