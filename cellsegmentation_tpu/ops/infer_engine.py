@@ -58,6 +58,13 @@ _POOL_IMPL = "reduce_window"  # "reduce_window" | "shift"
 # rate, re-zeroing the gutters each 3x3 reads (exact per-tile-zero-pad
 # semantics). 1.56x spatial overhead; A/B via CST_L2_MOSAIC=1.
 _L2_MOSAIC = os.environ.get("CST_L2_MOSAIC", "") == "1"
+
+# Grouped (ResNeXt) trunks in the DENSE engine's GEMM backend: the grouped
+# 3x3s run block-diagonally expanded (ops/q8_trunk.py::_expand_grouped,
+# g x redundant MACs at the dense int8 rate). Off by default pending the
+# hardware A/B — the dense+conv split already measured is not regressed.
+# Per-tile q8g always honors grouped (explicit-request path).
+_GROUPED_GEMM = os.environ.get("CST_GROUPED_GEMM", "") == "1"
 _L2_MOSAIC_K = int(os.environ.get("CST_L2_MOSAIC_K", "24") or 24)
 
 
@@ -581,8 +588,10 @@ def make_fast_tile_logits(
 
     strides = tuple(trunk.strides)
     trunk_tree = jax.device_put(trunk.tree())  # one batched host->device put
-    if trunk.kind != "bottleneck" or trunk.groups != 1:
-        backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
+    if trunk.kind != "bottleneck":
+        backend = "conv"  # GEMM backend is Bottleneck-only (basic: 3x3/3x3)
+    # grouped Bottlenecks (ResNeXt) enter the GEMM backend through a
+    # block-diagonal kernel expansion (ops/q8_trunk.py::_expand_grouped)
 
     if backend == "gemm" and calib_tiles is not None:
         from cellsegmentation_tpu.ops.q8_trunk import (
@@ -605,7 +614,8 @@ def make_fast_tile_logits(
         def fast_logits_gemm(head_params, tree, x):
             conv_tree, qp = tree
             x1 = trunk_forward(
-                conv_tree, strides, x, scales=scales, n_stages=1
+                conv_tree, strides, x, scales=scales, n_stages=1,
+                kind=trunk.kind, groups=trunk.groups,
             )
             m0 = x1.shape[0]
             # conv->GEMM seam: quantize + flatten NHWC into the whole-tile
@@ -770,8 +780,10 @@ def make_dense_tile_probs(
     meta = dense_grid_meta(hw, tile_size, interval)
     if trunk is None or meta is None:
         return None
-    if trunk.kind != "bottleneck" or trunk.groups != 1:
-        backend = "conv"  # GEMM backend is ungrouped-Bottleneck only
+    if trunk.kind != "bottleneck" or (
+        trunk.groups != 1 and not _GROUPED_GEMM
+    ):
+        backend = "conv"  # GEMM trunk needs Bottleneck; grouped is opt-in
 
     strides = tuple(trunk.strides)
     trunk_tree = jax.device_put(trunk.tree())  # one batched host->device put

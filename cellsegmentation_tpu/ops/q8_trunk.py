@@ -67,6 +67,24 @@ def _quant_w(k: np.ndarray, scale: np.ndarray) -> np.ndarray:
     return np.clip(np.round(k / scale), -127, 127).astype(np.int8)
 
 
+def _expand_grouped(k2: np.ndarray, groups: int) -> np.ndarray:
+    """Grouped HWIO conv kernel [kh,kw,C/g,C'] -> dense block-diagonal
+    [kh,kw,C,C'] (zeros off the group diagonal), so the grouped 3x3
+    (ResNeXt, model/resnext.py:418-442 in the reference) runs through the
+    UNCHANGED ungrouped whole-tile/tap kernels. g x redundant MACs, but at
+    the trunk's tiny spatial maps the dense int8 GEMM rate beats XLA's
+    padded-tap grouped conv (tools/bench_grouped.py)."""
+    kh, kw, cing, cout = k2.shape
+    coutg = cout // groups
+    big = np.zeros((kh, kw, cing * groups, cout), k2.dtype)
+    for gi in range(groups):
+        big[:, :, gi * cing : (gi + 1) * cing,
+            gi * coutg : (gi + 1) * coutg] = (
+            k2[:, :, :, gi * coutg : (gi + 1) * coutg]
+        )
+    return big
+
+
 def _wholetile_weight(k2: np.ndarray, h: int, w: int, stride: int):
     """[3,3,C,C'] folded conv kernel -> dense whole-tile GEMM weight.
 
@@ -157,6 +175,8 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
                 continue
             blk_stride = stride if bi == 0 else 1
             w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
+            if getattr(folded, "groups", 1) > 1:
+                w2 = _expand_grouped(w2, folded.groups)
             has_proj = len(ws) == 8
             c_in = w1.shape[2]
             c_mid = w1.shape[3]

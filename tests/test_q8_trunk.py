@@ -261,3 +261,116 @@ def test_gemm_backend_ranking_matches_flax(monkeypatch):
     rank_corr = spearmanr(p_ref, p).statistic
     assert rank_corr > 0.9
     assert np.abs(p - p_ref).max() < 0.05
+
+
+@pytest.mark.parametrize("groups,cg", [(4, 2), (2, 8)])
+def test_expand_grouped_matches_grouped_conv(groups, cg):
+    """Block-diagonal expansion: the dense kernel fed to the UNCHANGED
+    ungrouped formulations must reproduce feature_group_count exactly
+    (reference grouped 3x3: model/resnext.py:418-442)."""
+    rng = np.random.default_rng(7)
+    c = groups * cg
+    k2 = rng.normal(size=(3, 3, cg, c)).astype(np.float32)
+    x = rng.normal(size=(3, 4, 4, c)).astype(np.float32)
+
+    y_grouped = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(k2), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+    )
+    y_dense = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(qt._expand_grouped(k2, groups)),
+        (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_dense), np.asarray(y_grouped), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_gemm_backend_grouped_ranking_matches_flax(monkeypatch):
+    """ResNeXt through the GEMM backend (block-diag grouped 3x3s): q8g
+    probs must track the flax forward like the ungrouped trunk does."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(qt, "TILE_ALIGN", 32)  # keep interpret-mode cost sane
+
+    tile, interval, hw, g = 32, 24, 104, 2
+    model = build_model("resnext50_32x4d")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    rng = np.random.default_rng(8)
+    xx, yy = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    imgs = np.stack([
+        (127 + 120 * np.sin(xx / 23.0 + i) * np.cos(yy / 17.0 - i)
+         + rng.normal(0, 20, (hw, hw))).clip(0, 255)
+        for i in range(g)
+    ]).astype(np.uint8)[..., None].repeat(3, axis=-1)
+    flip = jnp.zeros((g,), jnp.int32)
+
+    ref_fn = steps_mod.make_tile_infer_step(model, tile, coords)
+    p_ref = np.asarray(ref_fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    fn = steps_mod.make_tile_infer_step(
+        model, tile, coords, variables=variables, engine="q8g",
+        calib_images=imgs,
+    )
+    assert fn.resolved_engine == "q8g"
+    p = np.asarray(fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    from scipy.stats import spearmanr
+
+    rank_corr = spearmanr(p_ref, p).statistic
+    assert rank_corr > 0.9
+    assert np.abs(p - p_ref).max() < 0.05
+
+
+def test_dense_gemm_grouped_ranking_matches_flax(monkeypatch):
+    """CST_GROUPED_GEMM=1: the DENSE engine (q8dg) with block-diag grouped
+    GEMM trunk on a ResNeXt, vs the flax forward. Covers the opt-in knob's
+    numerics end to end (shared-stem frontend + grouped GEMM backend)."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops import infer_engine as ie
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    monkeypatch.setattr(qt, "TILE_ALIGN", 32)
+    monkeypatch.setattr(ie, "_GROUPED_GEMM", True)
+
+    tile, interval, hw, g = 32, 24, 108, 2  # /4 lattice + border tile @76
+    model = build_model("resnext50_32x4d")
+    variables = init_variables(model, jax.random.PRNGKey(0))
+    coords = tile_grid(hw, hw, tile, interval)
+    rng = np.random.default_rng(9)
+    xx, yy = np.meshgrid(np.arange(hw), np.arange(hw), indexing="ij")
+    imgs = np.stack([
+        (127 + 120 * np.sin(xx / 23.0 + i) * np.cos(yy / 17.0 - i)
+         + rng.normal(0, 20, (hw, hw))).clip(0, 255)
+        for i in range(g)
+    ]).astype(np.uint8)[..., None].repeat(3, axis=-1)
+    flip = jnp.zeros((g,), jnp.int32)
+
+    ref_fn = steps_mod.make_tile_infer_step(model, tile, coords)
+    p_ref = np.asarray(ref_fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    fn = steps_mod.make_tile_infer_step(
+        model, tile, coords, variables=variables, engine="q8dg",
+        calib_images=imgs,
+    )
+    assert fn.resolved_engine == "q8dg"
+    p = np.asarray(fn(variables, jnp.asarray(imgs), flip)).ravel()
+
+    from scipy.stats import spearmanr
+
+    # The dense engine's stem-sharing/border approximations put |dprob|
+    # near the certified trained-weights q8dg bound (0.06,
+    # tests/test_q8_selection_identity.py) — on a RANDOM-INIT net whose
+    # prob spread is comparable (std ~0.03) plain rank corr is a weak
+    # instrument (measured 0.84 grouped, vs resnet50's std-0.0 flat
+    # probs), so the gates here are the error bound + gross-ordering
+    # sanity; margin-aware selection identity on trained weights remains
+    # the real fidelity gate for engines promoted to serving defaults.
+    assert np.abs(p - p_ref).max() < 0.06
+    assert spearmanr(p_ref, p).statistic > 0.75

@@ -185,6 +185,50 @@ def main():
         _run("E. relayout + int8 dot + relayout back", composed,
              (xflat, wg8), iters, useful, raw_macs=toeplitz_macs)
 
+        # F. the grouped conv as the UNGROUPED production kernels on a
+        # block-diagonal-expanded kernel (grouped K[dy,dx,cg,C] -> dense
+        # K'[dy,dx,C,C] with zeros off the group diagonal): zero new code
+        # in the trunk, g x redundant MACs, but runs at the dense int8
+        # rate in the existing whole-tile layout — no relayout at all.
+        from cellsegmentation_tpu.ops.q8_gemm import q8_conv3_tap, q8_matmul
+
+        bias = jnp.zeros((pxo * c,), jnp.float32)
+        wsc = jnp.full((pxo * c,), 0.01, jnp.float32)
+        if px <= 9:
+            # whole-tile Toeplitz GEMM [M, px*C] x [px*C, pxo*C] (the
+            # wholetile impl the ungrouped trunk uses at <=9 px); the
+            # block-diag zeros make it (px_in*g/k3^2) x raw-redundant
+            wbig = jnp.asarray(
+                rng.integers(-127, 127, (px * c, pxo * c), dtype=np.int8)
+            )
+
+            def f_body(x2, wbig, bias, wsc):
+                y = q8_matmul(x2, wbig, bias, wsc, out_kind="int8",
+                              in_scale=0.05, out_scale=0.05)
+                return y.ravel()[0].astype(jnp.float32)
+
+            _run("F. block-diag dense wholetile q8_matmul", f_body,
+                 (xflat, wbig, bias, wsc), iters, useful,
+                 raw_macs=N_T * px * c * pxo * c)
+        else:
+            # tap-accumulating conv (the ungrouped impl at >9 px):
+            # [9*C, C] tap-major kernel, block-diag per tap
+            wtap = jnp.asarray(
+                rng.integers(-127, 127, (9 * c, c), dtype=np.int8)
+            )
+            bias_t = jnp.zeros((c,), jnp.float32)
+            wsc_t = jnp.full((c,), 0.01, jnp.float32)
+
+            def f_body(x2, wtap, bias_t, wsc_t):
+                y = q8_conv3_tap(x2, wtap, bias_t, wsc_t, h_in=hw, w_in=hw,
+                                 stride=1, c_in=c, in_scale=0.05,
+                                 out_scale=0.05)
+                return y.ravel()[0].astype(jnp.float32)
+
+            _run("F. block-diag tap q8_conv3_tap", f_body,
+                 (xflat, wtap, bias_t, wsc_t), iters, useful,
+                 raw_macs=N_T * px * c * 9 * c)
+
     print("DONE")
 
 
