@@ -25,8 +25,11 @@ valid while the encoder stays frozen, i.e. the whole stage-2 cycle
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from cellsegmentation_tpu.ops.q8_gemm import (
@@ -49,6 +52,15 @@ TILE_ALIGN = 960
 # MXU rates than 9 small-K dots). The three forms are BIT-IDENTICAL
 # (tests/test_q8_trunk.py) — this is a pure perf knob.
 W2_IMPL = "auto"
+
+# Grouped (ResNeXt) 3x3 formulation: "blockdiag" routes the expanded
+# block-diagonal kernel through the ungrouped impls above (g x redundant
+# MACs at the dense rate, no relayout); "gdot" keeps the groups as a
+# batched per-group whole-tile dot (zero redundancy, pays two [N, px, g,
+# cg] relayouts per conv and a g-batched small-N dot). The two are
+# BIT-IDENTICAL (tests/test_q8_trunk.py) — a pure perf knob, A/B'd on
+# hardware by tools/bench_grouped.py.
+GROUPED_IMPL = os.environ.get("CST_GROUPED_IMPL", "blockdiag")
 
 
 def _w2_impl(h: int, w: int) -> str:
@@ -148,7 +160,8 @@ class QBlockMeta:
     s_res: float  # residual scale: s_in (identity) or the proj-out scale
     s_out: Optional[float]  # None -> final block, bf16 out
     has_proj: bool
-    w2_impl: str = "wholetile"  # "wholetile" | "tap" | "rowtap"
+    w2_impl: str = "wholetile"  # "wholetile" | "tap" | "rowtap" | "gdot"
+    groups: int = 1  # >1 only with w2_impl="gdot" (batched per-group dot)
 
 
 def build_q8_backend(folded, scales, h_in: int, w_in: int,
@@ -175,7 +188,8 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
                 continue
             blk_stride = stride if bi == 0 else 1
             w1, b1, w2, b2, w3, b3 = [np.asarray(a, np.float32) for a in ws[:6]]
-            if getattr(folded, "groups", 1) > 1:
+            grouped = getattr(folded, "groups", 1) > 1
+            if grouped and GROUPED_IMPL != "gdot":
                 w2 = _expand_grouped(w2, folded.groups)
             has_proj = len(ws) == 8
             c_in = w1.shape[2]
@@ -183,9 +197,26 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
             c_out = w3.shape[3]
 
             s1 = _per_channel_scale(w1[0, 0])
-            s2c = _per_channel_scale(w2)  # per co
-            w2_impl = _w2_impl(h, w)
-            if w2_impl == "tap":
+            s2c = _per_channel_scale(w2)  # per co (grouped or dense kernel)
+            w2_impl = (
+                "gdot" if grouped and GROUPED_IMPL == "gdot" else _w2_impl(h, w)
+            )
+            if w2_impl == "gdot":
+                # per-group whole-tile Toeplitz, batched over groups:
+                # [g, px_in*cg, px_out*cog]; bias/scales tiled per group
+                gr = folded.groups
+                cog = c_mid // gr
+                mats, biases, scs = [], [], []
+                for gi in range(gr):
+                    kg = w2[:, :, :, gi * cog : (gi + 1) * cog]
+                    big_g, ho, wo = _wholetile_weight(kg, h, w, blk_stride)
+                    sg = s2c[gi * cog : (gi + 1) * cog]
+                    mats.append(_quant_w(big_g, np.tile(sg, ho * wo)))
+                    biases.append(np.tile(b2[gi * cog : (gi + 1) * cog], ho * wo))
+                    scs.append(np.tile(sg, ho * wo))
+                w2q = np.stack(mats)
+                b2q, s2q = np.stack(biases), np.stack(scs)
+            elif w2_impl == "tap":
                 # tap-major [9*c_mid, c_mid] rows (dy*3+dx)*c_mid + ci —
                 # the row-major reshape of the HWIO kernel
                 ho = (h - 1) // blk_stride + 1
@@ -243,6 +274,7 @@ def build_q8_backend(folded, scales, h_in: int, w_in: int,
                     s_out=None if is_final else float(scales.block_out[si][bi]),
                     has_proj=has_proj,
                     w2_impl=w2_impl,
+                    groups=folded.groups if w2_impl == "gdot" else 1,
                 )
             )
             params.append(p)
@@ -294,7 +326,29 @@ def q8_backend_forward(params, metas, xq, interpret: bool = False,
                 )
             else:
                 res = xq
-        if m.w2_impl == "tap":
+        if m.w2_impl == "gdot":
+            g, cg = m.groups, m.c_mid // m.groups
+            n = h1.shape[0]
+            h1g = (
+                h1.reshape(n, px_in, g, cg)
+                .transpose(2, 0, 1, 3)
+                .reshape(g, n, px_in * cg)
+            )
+            acc = jax.lax.dot_general(
+                h1g, p["w2"], (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.int32,
+            )
+            # the exact _mm_kernel epilogue (ops/q8_gemm.py), batched over g
+            y = acc.astype(jnp.float32) * (m.s_h1 * p["s2"][:, None, :])
+            y = jnp.maximum(y + p["b2"][:, None, :], 0.0)
+            h2 = (
+                jnp.clip(jnp.round(y * (1.0 / m.s_h2)), -127, 127)
+                .astype(jnp.int8)
+                .reshape(g, n, px_out, cg)
+                .transpose(1, 2, 0, 3)
+                .reshape(n, px_out * m.c_mid)
+            )
+        elif m.w2_impl == "tap":
             h2 = q8_conv3_tap(
                 h1, p["w2"], p["b2"], p["s2"],
                 h_in=m.h_in, w_in=m.w_in, stride=m.stride, c_in=m.c_mid,

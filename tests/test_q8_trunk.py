@@ -374,3 +374,39 @@ def test_dense_gemm_grouped_ranking_matches_flax(monkeypatch):
     # the real fidelity gate for engines promoted to serving defaults.
     assert np.abs(p - p_ref).max() < 0.06
     assert spearmanr(p_ref, p).statistic > 0.75
+
+
+def test_grouped_impl_is_pure_perf_knob(monkeypatch):
+    """blockdiag vs gdot grouped formulations: same int32 accumulations
+    (block-diag zeros contribute nothing), same epilogue formula — the
+    backend features must be BIT-IDENTICAL. CST_GROUPED_IMPL is a perf
+    knob, not a numerics one."""
+    from cellsegmentation_tpu.models import build_model, init_variables
+    from cellsegmentation_tpu.ops.infer_engine import (
+        calibrate_trunk,
+        fold_tile_trunk,
+    )
+
+    monkeypatch.setattr(qt, "TILE_ALIGN", 32)
+    model = build_model("resnext50_32x4d")
+    variables = init_variables(model, jax.random.PRNGKey(2))
+    trunk = fold_tile_trunk(model, variables)
+    assert trunk.groups == 32
+    rng = np.random.default_rng(10)
+    calib = rng.normal(117, 50, size=(32, 16, 16, 3)).clip(0, 255).astype(
+        np.float32
+    )
+    scales = calibrate_trunk(trunk, calib, deep=True)
+
+    xq = rng.integers(-127, 127, (32, 4 * 4 * 256), dtype=np.int8)
+    outs = {}
+    for impl in ("blockdiag", "gdot"):
+        monkeypatch.setattr(qt, "GROUPED_IMPL", impl)
+        params, metas = qt.build_q8_backend(trunk, scales, 4, 4)
+        if impl == "gdot":
+            assert all(m.w2_impl == "gdot" and m.groups == 32 for m in metas)
+        outs[impl] = np.asarray(
+            qt.q8_backend_forward(params, metas, jnp.asarray(xq),
+                                  interpret=True)
+        )
+    np.testing.assert_array_equal(outs["gdot"], outs["blockdiag"])
