@@ -3,6 +3,13 @@
 Host loops around the jitted steps in train/steps.py. Device→host traffic is
 minimal: per-image scalars for stage 1, one [N, T] prob matrix for stage 2
 (the tile *images* never leave the device), soft masks for stage 3.
+
+Every loop runs a 2-deep software pipeline: batch i+1's upload + compute is
+dispatched (async in JAX) before batch i's results are fetched, so the
+device→host fetch of one batch hides behind the device compute of the next.
+On a tunneled single chip the blocking fetch dominated the loop body
+(docs/PERF.md stage-3 decomposition); on production TPU it simply keeps the
+device queue non-empty.
 """
 
 from __future__ import annotations
@@ -18,6 +25,13 @@ from cellsegmentation_tpu.parallel import multihost
 from cellsegmentation_tpu.ops.categorize import categorize_np, de_categorize_np
 from cellsegmentation_tpu.ops.tiles import tile_grid
 from cellsegmentation_tpu.ops.topk import adaptive_topk_mask
+
+
+def _clean_counts(regs: np.ndarray) -> np.ndarray:
+    """Round regressed counts with diverged-value (nan/inf/absurd) clamping."""
+    return np.round(
+        np.nan_to_num(regs, nan=0.0, posinf=1e6, neginf=0.0)
+    ).clip(0, 1e6).astype(np.int64)
 
 
 def apply_cls_limit(counts: np.ndarray, categories: np.ndarray) -> np.ndarray:
@@ -60,28 +74,35 @@ def inference_image(
     counts = np.zeros(n, dtype=np.int64)
     batches = list(BatchIterator(n, batch_size, shuffle=False))
     idx_chunks, cat_chunks, cnt_chunks = [], [], []
-    for b in multihost.my_batches(len(batches)):
-        sel, valid = batches[b]
-        images = source.images[base_idx[sel]]
-        probs, regs = infer_step(
-            variables, jnp.asarray(images), jnp.asarray(flip[sel])
-        )
-        probs = np.asarray(probs)
-        regs = np.asarray(regs)
+
+    def drain(sel, valid, d_probs, d_regs):
+        probs = np.asarray(d_probs)
+        regs = np.asarray(d_regs)
         keep = sel[valid]
         cat = probs.argmax(axis=1)[valid]
         # a diverged regressor (nan/inf/absurd counts) must not poison the
         # downstream eval: QWK sizes its confusion matrix by max(count), so
         # an unclamped cast here turns one bad batch into a crash. 10^6 is
         # far past any LYSTO count (top bin: >200) — sane paths unchanged.
-        cnt = np.round(
-            np.nan_to_num(regs[valid], nan=0.0, posinf=1e6, neginf=0.0)
-        ).clip(0, 1e6).astype(np.int64)
+        cnt = _clean_counts(regs[valid])
         categories[keep] = cat
         counts[keep] = cnt
         idx_chunks.append(keep)
         cat_chunks.append(cat)
         cnt_chunks.append(cnt)
+
+    pending = None
+    for b in multihost.my_batches(len(batches)):
+        sel, valid = batches[b]
+        images = source.images[base_idx[sel]]
+        probs, regs = infer_step(
+            variables, jnp.asarray(images), jnp.asarray(flip[sel])
+        )
+        if pending is not None:
+            drain(*pending)
+        pending = (sel, valid, probs, regs)
+    if pending is not None:
+        drain(*pending)
     multihost.merge_process_rows(
         [categories, counts], idx_chunks, [cat_chunks, cnt_chunks]
     )
@@ -129,18 +150,85 @@ def inference_tiles(
     # round-robin subset of batches and the row fills are merged after
     # (replaces every host redoing the full sweep)
     idx_chunks, val_chunks = [], []
+
+    def drain(sel, valid, d_probs):
+        vals = np.asarray(d_probs)[valid]
+        out[sel[valid]] = vals
+        idx_chunks.append(sel[valid])
+        val_chunks.append(vals)
+
+    pending = None
     for b in multihost.my_batches(len(batches)):
         sel, valid = batches[b]
         images = source.images[base_idx[sel]]
         # flip stays a HOST array: the step dispatches flip-free batches to
         # a specialized graph with a cheap host check (jit transfers it)
         probs = infer_step(variables, jnp.asarray(images), flip[sel])
-        vals = np.asarray(probs)[valid]
-        out[sel[valid]] = vals
-        idx_chunks.append(sel[valid])
-        val_chunks.append(vals)
+        if pending is not None:
+            drain(*pending)
+        pending = (sel, valid, probs)
+    if pending is not None:
+        drain(*pending)
     multihost.merge_process_rows([out], idx_chunks, [val_chunks])
     return out
+
+
+def inference_tiles_and_counts(
+    source,
+    tile_step,
+    image_step,
+    variables,
+    tile_size: int,
+    interval: int,
+    image_batch: int = 64,
+):
+    """Fused stage-3 drawing sweep: dense tile probs + image-head counts in
+    one pass over the data. Returns (probs [N, T] float32, counts [N] int64).
+
+    Equivalent to ``inference_tiles(...)`` followed by
+    ``inference_image(...)[1]`` (reference: train_seg.py:219-276 runs these
+    as two dataloader passes), but each uint8 image batch crosses host→device
+    ONCE and serves both the tile sweep and the count head — on a tunneled
+    chip the duplicate ~17 MB/batch upload was most of the drawing loop's
+    non-sweep time (docs/PERF.md). Both steps must be PROCESS-LOCAL (plain
+    jits); batches round-robin across processes like the unfused loops.
+    """
+    h, w = source.image_hw
+    n_t = tile_grid(h, w, tile_size, interval).shape[0]
+    n = len(source)
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    base_idx = getattr(source, "base_idx", np.arange(n))
+
+    probs_out = np.zeros((n, n_t), dtype=np.float32)
+    counts_out = np.zeros(n, dtype=np.int64)
+    batches = list(BatchIterator(n, image_batch, shuffle=False))
+    idx_chunks, val_chunks, cnt_chunks = [], [], []
+
+    def drain(sel, valid, d_probs, d_regs):
+        keep = sel[valid]
+        vals = np.asarray(d_probs)[valid]
+        cnt = _clean_counts(np.asarray(d_regs)[valid])
+        probs_out[keep] = vals
+        counts_out[keep] = cnt
+        idx_chunks.append(keep)
+        val_chunks.append(vals)
+        cnt_chunks.append(cnt)
+
+    pending = None
+    for b in multihost.my_batches(len(batches)):
+        sel, valid = batches[b]
+        dev_images = jnp.asarray(source.images[base_idx[sel]])
+        probs = tile_step(variables, dev_images, flip[sel])
+        _, regs = image_step(variables, dev_images, jnp.asarray(flip[sel]))
+        if pending is not None:
+            drain(*pending)
+        pending = (sel, valid, probs, regs)
+    if pending is not None:
+        drain(*pending)
+    multihost.merge_process_rows(
+        [probs_out, counts_out], idx_chunks, [val_chunks, cnt_chunks]
+    )
+    return probs_out, counts_out
 
 
 def sample_topk(
@@ -226,8 +314,15 @@ def inference_seg(
     base_idx = getattr(source, "base_idx", np.arange(n))
     out = np.zeros((n, h, w), dtype=np.float32)
     it = BatchIterator(n, batch_size, shuffle=False)
+    pending = None
     for sel, valid in it:
         images = source.images[base_idx[sel]]
         masks = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
-        out[sel[valid]] = np.asarray(masks)[valid]
+        if pending is not None:
+            psel, pvalid, pmasks = pending
+            out[psel[pvalid]] = np.asarray(pmasks)[pvalid]
+        pending = (sel, valid, masks)
+    if pending is not None:
+        psel, pvalid, pmasks = pending
+        out[psel[pvalid]] = np.asarray(pmasks)[pvalid]
     return out

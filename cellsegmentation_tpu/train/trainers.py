@@ -582,8 +582,20 @@ def draw_pseudo_masks(
     one engine build across repeated sweeps; the q8 build (weight fold +
     calibration + compile) is a few seconds of one-time cost that a fresh
     build pays on every call (docs/PERF.md stage-3 decomposition).
+
+    Single-process runs stream the whole thing: each uint8 image batch
+    crosses host→device ONCE and serves both the tile sweep and the count
+    head, and the host paints/refines/saves batch i's masks while the
+    device sweeps batch i+1 (2-deep pipeline). Multi-host runs keep the
+    merge-then-paint orchestration: the sweep is disjoint round-robin and
+    shipping [N, T] probs + counts across hosts is far cheaper than
+    shipping painted [N, H, W] masks.
     """
-    from cellsegmentation_tpu.postprocess.masks import generate_masks
+    from cellsegmentation_tpu.postprocess.masks import (
+        generate_masks,
+        paint_tile_blocks,
+        preprocess_masks_batch,
+    )
 
     logger = logger or RunLogger(output_path or "./output")
     h, w = source.image_hw
@@ -595,38 +607,92 @@ def draw_pseudo_masks(
             variables=variables, engine=engine,
             calib_images=infer_engine_mod.pick_calib_images(source.images),
         )
-    probs = infer.inference_tiles(
-        source, infer_tiles_fn, variables, tile_size, interval,
-        image_batch=image_batch,
-    )  # [N, T]
-    keep = probs > threshold  # (reference rank(): lexsort + prob filter)
-
-    # artifact clearing: predicted count == 0 → drop the whole image's tiles
     infer_image_fn = steps_mod.make_image_infer_step(model)
-    _, counts = infer.inference_image(
-        source, infer_image_fn, variables, batch_size=image_batch
-    )
-    keep &= (counts != 0)[:, None]
-
-    h, w = source.image_hw
     coords = tile_grid(h, w, tile_size, interval)
-    groups, tile_idx = np.nonzero(keep)
-    tiles_xy = coords[tile_idx]
+    n = len(source)
+    base_idx = getattr(source, "base_idx", np.arange(n))
+
+    if jax.process_count() > 1:
+        # fused sweep: one upload per batch serves both the dense tile
+        # probs and the image-head counts (artifact clearing below)
+        probs, counts = infer.inference_tiles_and_counts(
+            source, infer_tiles_fn, infer_image_fn, variables,
+            tile_size, interval, image_batch=image_batch,
+        )  # [N, T], [N]
+        keep = probs > threshold  # (reference rank(): lexsort + filter)
+        # artifact clearing: predicted count == 0 → drop the image's tiles
+        keep &= (counts != 0)[:, None]
+        groups, tile_idx = np.nonzero(keep)
+        logger.info(
+            f"pseudo-masks: {keep.sum()} tiles kept on "
+            f"{len(np.unique(groups))}/{n} images"
+        )
+        return generate_masks(
+            source.images[base_idx],
+            groups,
+            coords[tile_idx],
+            tile_size,
+            preprocess=preprocess,
+            save_masks=output_path is not None,
+            output_path=output_path or "./data/pseudomask",
+        )
+
+    # single process: streamed threshold/clear/paint per batch
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    masks = np.zeros((n, h, w), dtype=np.uint8)
+    kept_tiles = 0
+    kept_images = 0
+    if output_path:
+        import cv2
+
+        os.makedirs(os.path.join(output_path, "rgb"), exist_ok=True)
+        os.makedirs(os.path.join(output_path, "mask"), exist_ok=True)
+
+    def drain(sel, valid, imgs, d_probs, d_regs):
+        nonlocal kept_tiles, kept_images
+        keep = np.asarray(d_probs)[valid] > threshold
+        counts = infer._clean_counts(np.asarray(d_regs)[valid])
+        keep &= (counts != 0)[:, None]
+        groups, tile_idx = np.nonzero(keep)
+        kept_tiles += len(groups)
+        kept_images += len(np.unique(groups))
+        imgs = imgs[valid]
+        m = paint_tile_blocks(
+            len(imgs), (h, w), groups, coords[tile_idx], tile_size
+        )
+        if preprocess:
+            m = preprocess_masks_batch(imgs, m)
+        rows = sel[valid]
+        masks[rows] = m.astype(np.uint8)
+        if output_path:
+            # same global 1-based naming as generate_masks' saver
+            for j, row in enumerate(rows):
+                cv2.imwrite(
+                    os.path.join(output_path, f"rgb/{row + 1:05}.png"),
+                    cv2.cvtColor(imgs[j], cv2.COLOR_RGB2BGR),
+                )
+                cv2.imwrite(
+                    os.path.join(output_path, f"mask/{row + 1:05}.png"),
+                    (m[j] * 255).astype(np.uint8),
+                )
+
+    pending = None
+    for sel, valid in BatchIterator(n, image_batch, shuffle=False):
+        imgs = source.images[base_idx[sel]]
+        dev_images = jnp.asarray(imgs)
+        d_probs = infer_tiles_fn(variables, dev_images, flip[sel])
+        _, d_regs = infer_image_fn(
+            variables, dev_images, jnp.asarray(flip[sel])
+        )
+        if pending is not None:
+            drain(*pending)
+        pending = (sel, valid, imgs, d_probs, d_regs)
+    if pending is not None:
+        drain(*pending)
     logger.info(
-        f"pseudo-masks: {keep.sum()} tiles kept on "
-        f"{len(np.unique(groups))}/{len(source)} images"
+        f"pseudo-masks: {kept_tiles} tiles kept on {kept_images}/{n} images"
     )
-    base_idx = getattr(source, "base_idx", np.arange(len(source)))
-    images = source.images[base_idx]
-    return generate_masks(
-        images,
-        groups,
-        tiles_xy,
-        tile_size,
-        preprocess=preprocess,
-        save_masks=output_path is not None,
-        output_path=output_path or "./data/pseudomask",
-    )
+    return masks
 
 
 def train_stage3(

@@ -145,3 +145,70 @@ def test_tile_infer_consistency():
     )
     want = np.asarray(direct(jnp.asarray(hand))).reshape(2, -1)
     np.testing.assert_allclose(probs, want, rtol=2e-4, atol=2e-5)
+
+
+def test_streamed_draw_matches_unfused_composition(pipeline_dir, tmp_path):
+    """The single-process streamed drawing pipeline (one upload per batch,
+    per-batch threshold/clear/paint/save) must byte-match the unfused
+    composition inference_tiles + inference_image + generate_masks —
+    including HSV refinement and the saved png trees (global 1-based
+    naming across uneven batches)."""
+    import cv2
+
+    from cellsegmentation_tpu import infer
+    from cellsegmentation_tpu.ops.tiles import tile_grid
+    from cellsegmentation_tpu.postprocess.masks import generate_masks
+    from cellsegmentation_tpu.train import steps as steps_mod
+
+    root, h5 = pipeline_dir
+    src = LystoDataSource(h5, train=True, kfold=None)
+    model = build_model("resnet18")
+    variables = init_variables(model, jax.random.PRNGKey(3))
+    # the random-init regressor's artifact-clearing gate would keep nothing
+    # (pre-relu activations on real images are large-negative): pin the
+    # final Dense to a constant 5.0 so every image has count 5 and the kept
+    # set is non-trivial
+    reg = variables["params"][IMAGE_REG_KEY]
+    last = sorted(k for k in reg if k.startswith("Dense"))[-1]
+    reg[last]["kernel"] = reg[last]["kernel"] * 0.0
+    reg[last]["bias"] = reg[last]["bias"] + 5.0
+    ts, iv, thresh = 8, 4, 0.3
+    logger = RunLogger(str(tmp_path), tensorboard=False)
+
+    tile_fn = steps_mod.make_tile_infer_step(
+        model, ts, tile_grid(HW, HW, ts, iv), variables=variables,
+        engine="flax",
+    )
+    out_a = tmp_path / "streamed"
+    masks = draw_pseudo_masks(
+        model, variables, src, tile_size=ts, interval=iv,
+        threshold=thresh, image_batch=6,  # 16 images -> uneven last batch
+        preprocess=True, output_path=str(out_a), logger=logger,
+        infer_tiles_fn=tile_fn,
+    )
+
+    # unfused oracle composition (the pre-round-5 orchestration)
+    image_fn = steps_mod.make_image_infer_step(model)
+    probs = infer.inference_tiles(src, tile_fn, variables, ts, iv,
+                                  image_batch=6)
+    _, counts = infer.inference_image(src, image_fn, variables, batch_size=6)
+    keep = (probs > thresh) & (counts != 0)[:, None]
+    coords = tile_grid(HW, HW, ts, iv)
+    groups, tile_idx = np.nonzero(keep)
+    out_b = tmp_path / "unfused"
+    want = generate_masks(
+        src.images[src.base_idx], groups, coords[tile_idx], ts,
+        preprocess=True, save_masks=True, output_path=str(out_b),
+    )
+
+    assert keep.sum() > 0, "fixture kept no tiles — test is vacuous"
+    np.testing.assert_array_equal(masks, want)
+    for sub in ("rgb", "mask"):
+        a_files = sorted(os.listdir(out_a / sub))
+        b_files = sorted(os.listdir(out_b / sub))
+        assert a_files == b_files and len(a_files) == len(src)
+        for f in a_files:
+            a_img = cv2.imread(str(out_a / sub / f), cv2.IMREAD_UNCHANGED)
+            b_img = cv2.imread(str(out_b / sub / f), cv2.IMREAD_UNCHANGED)
+            np.testing.assert_array_equal(a_img, b_img)
+    logger.close()

@@ -141,3 +141,70 @@ def test_calc_map_smoke():
     pred = np.asarray([1, 0, 1, 1])
     scores = np.asarray([0.9, 0.1, 0.8, 0.7])
     assert 0 <= calc_map(pred, scores) <= 1
+
+
+class TestFusedSweep:
+    """inference_tiles_and_counts ≡ inference_tiles + inference_image[1],
+    including the 2-deep pipelined drain order, uneven final batch, and
+    diverged-regressor clamping."""
+
+    def _source(self, rng, n=7, hw=36):
+        src = _FakeSource(n, hw, labels=rng.integers(0, 5, n))
+        src.images = rng.integers(0, 255, size=(n, hw, hw, 3), dtype=np.uint8)
+        src.flip_code = rng.integers(0, 4, n).astype(np.int32)
+        return src
+
+    def test_matches_unfused(self, rng):
+        from cellsegmentation_tpu import infer
+
+        src = self._source(rng)
+        n_t = 9
+
+        def tile_step(variables, images, flip):
+            imgs = np.asarray(images, np.float64)
+            return (imgs.mean(axis=(1, 2, 3))[:, None]
+                    + np.arange(n_t)[None, :]).astype(np.float32)
+
+        def image_step(variables, images, flip):
+            imgs = np.asarray(images, np.float64)
+            m = imgs.mean(axis=(1, 2, 3))
+            regs = m.copy()
+            regs[0] = np.nan  # exercise the diverged-count clamp
+            return np.stack([m, -m], axis=1), regs
+
+        probs, counts = infer.inference_tiles_and_counts(
+            src, tile_step, image_step, None, 16, 10, image_batch=2
+        )
+        want_probs = infer.inference_tiles(
+            src, tile_step, None, 16, 10, image_batch=2
+        )
+        _, want_counts = infer.inference_image(
+            src, image_step, None, batch_size=2
+        )
+        np.testing.assert_array_equal(probs, want_probs)
+        np.testing.assert_array_equal(counts, want_counts)
+        assert counts[0] == 0  # nan reg -> clamped to 0
+
+    def test_single_upload_per_batch(self, rng):
+        """The fused loop must convert each image batch to a device array
+        once and hand the SAME object to both steps."""
+        from cellsegmentation_tpu import infer
+
+        src = self._source(rng, n=4)
+        seen = []
+
+        def tile_step(variables, images, flip):
+            seen.append(("tile", id(images)))
+            return np.zeros((np.asarray(images).shape[0], 9), np.float32)
+
+        def image_step(variables, images, flip):
+            seen.append(("image", id(images)))
+            n = np.asarray(images).shape[0]
+            return np.zeros((n, 2), np.float32), np.zeros(n, np.float32)
+
+        infer.inference_tiles_and_counts(
+            src, tile_step, image_step, None, 16, 10, image_batch=2
+        )
+        tile_ids = [i for k, i in seen if k == "tile"]
+        image_ids = [i for k, i in seen if k == "image"]
+        assert tile_ids == image_ids, "image batch uploaded twice"

@@ -39,6 +39,10 @@ from cellsegmentation_tpu.train.trainers import draw_pseudo_masks
 from cellsegmentation_tpu.utils.logging import RunLogger
 
 N = int(os.environ.get("N", "64"))
+IB = int(os.environ.get("IB", "64"))  # image_batch: N/IB batches per call
+# UNFUSED=1 reproduces the pre-round-5 two-pass orchestration (separate
+# inference_tiles + inference_image uploads) for a same-session A/B bracket
+UNFUSED = os.environ.get("UNFUSED", "") == "1"
 # 0.95 (the serving default) keeps ~no tiles on random-init weights and
 # skips the painting path entirely; THRESH=0.5 forces a realistic kept
 # fraction so the number covers sweep + artifact clearing + painting
@@ -66,16 +70,40 @@ t_build = time.perf_counter() - t0
 print(f"engine build ({ENGINE} -> {infer_tiles_fn.resolved_engine}): "
       f"{t_build:.2f}s one-time", flush=True)
 
-kwargs = dict(image_batch=64, threshold=THRESH, logger=logger,
+if UNFUSED:
+    from cellsegmentation_tpu import infer
+    from cellsegmentation_tpu.postprocess.masks import generate_masks as _gm
+
+    infer_image_fn = steps_mod.make_image_infer_step(model)
+
+    def _draw(model, variables, src, image_batch, threshold, logger,
+              infer_tiles_fn):
+        probs = infer.inference_tiles(
+            src, infer_tiles_fn, variables, 16, 5, image_batch=image_batch)
+        keep = probs > threshold
+        _, counts = infer.inference_image(
+            src, infer_image_fn, variables, batch_size=image_batch)
+        keep &= (counts != 0)[:, None]
+        coords_ = tile_grid(299, 299, 16, 5)
+        g, ti = np.nonzero(keep)
+        return _gm(src.images[np.arange(len(src))], g, coords_[ti], 16,
+                   save_masks=False)
+
+    draw = _draw
+else:
+    draw = draw_pseudo_masks
+
+kwargs = dict(image_batch=IB, threshold=THRESH, logger=logger,
               infer_tiles_fn=infer_tiles_fn)
-draw_pseudo_masks(model, variables, src, **kwargs)  # warm (compile)
+draw(model, variables, src, **kwargs)  # warm (compile)
 
 # 2. steady-state end-to-end (sweep + threshold + artifact clearing)
 for _ in range(2):
     t0 = time.perf_counter()
-    masks = draw_pseudo_masks(model, variables, src, **kwargs)
+    masks = draw(model, variables, src, **kwargs)
     dt = time.perf_counter() - t0
     print(f"{N} images ({N * 3249} tiles at 16/5, threshold {THRESH}, "
+          f"batch {IB}, fused={not UNFUSED}, "
           f"{int((masks > 0).any(axis=(1, 2)).sum())} non-empty masks) "
           f"in {dt:.2f}s -> {N / dt:.1f} masks/s steady-state", flush=True)
 
