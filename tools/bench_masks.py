@@ -47,6 +47,12 @@ UNFUSED = os.environ.get("UNFUSED", "") == "1"
 # skips the painting path entirely; THRESH=0.5 forces a realistic kept
 # fraction so the number covers sweep + artifact clearing + painting
 THRESH = float(os.environ.get("THRESH", "0.5"))
+# BIAS_COUNTS=1 pins the image count head to a constant 5 (zero final
+# kernel + positive bias) so the artifact-clearing gate passes and the
+# steady-state loop actually paints — the configuration where the fused
+# path's paint/device overlap shows up. Default off: continuity with the
+# sweep-only numbers recorded in docs/PERF.md.
+BIAS_COUNTS = os.environ.get("BIAS_COUNTS", "") == "1"
 d = tempfile.mkdtemp()
 make_synthetic_h5(f"{d}/training.h5", n_images=N, image_size=299,
                   max_cells=20, seed=9)
@@ -54,6 +60,13 @@ src = LystoDataSource(f"{d}/training.h5", train=True, kfold=None, seed=0)
 
 model = build_model("resnet50")
 variables = init_variables(model, jax.random.PRNGKey(0))
+if BIAS_COUNTS:
+    from cellsegmentation_tpu.models.milnet import IMAGE_REG_KEY
+
+    reg = variables["params"][IMAGE_REG_KEY]
+    last = sorted(k for k in reg if k.startswith("Dense"))[-1]
+    reg[last]["kernel"] = reg[last]["kernel"] * 0.0
+    reg[last]["bias"] = reg[last]["bias"] + 5.0
 logger = RunLogger(d, tensorboard=False)
 
 ENGINE = os.environ.get("ENGINE", "auto")
