@@ -61,6 +61,37 @@ def _device_batch(batch: dict, mesh=None) -> dict:
     return jax.tree_util.tree_map(jnp.asarray, batch)
 
 
+class _MetricsPipe:
+    """Per-epoch metric accumulator that defers each step's device→host
+    scalar fetch by one step (the same 2-deep software pipeline as the
+    inference loops in infer/__init__.py): batch i+1's upload + dispatch
+    are in flight before batch i's metrics are fetched, so the fetch —
+    which blocks until step i finishes — never leaves the device idle.
+    Without it every `float(metrics[...])` serializes upload → compute →
+    fetch per step (a real cost on a tunneled chip; on production TPU it
+    simply keeps the device queue non-empty)."""
+
+    def __init__(self):
+        self.sums: dict = {}
+        self.n = 0
+        self._pending = None
+
+    def push(self, metrics: dict) -> None:
+        self._drain()
+        self._pending = metrics
+        self.n += 1
+
+    def _drain(self) -> None:
+        if self._pending is not None:
+            for k, v in self._pending.items():
+                self.sums[k] = self.sums.get(k, 0.0) + float(v)
+            self._pending = None
+
+    def means(self) -> dict:
+        self._drain()
+        return {k: v / max(self.n, 1) for k, v in self.sums.items()}
+
+
 def _mesh_batch_size(batch_size: int, mesh) -> int:
     """Round a batch size up to a multiple of the mesh's data-axis size so
     dp-sharded dim 0 always divides evenly (padding masks absorb the slack)."""
@@ -162,8 +193,7 @@ def train_stage1(
     cls_labels = train_source.cls_labels
     for epoch in range(1 + last_epoch, epochs + 1):
         try:
-            sums = {}
-            n_batches = 0
+            pipe = _MetricsPipe()
             cls_labels = train_source.cls_labels  # refresh after resampling
             # CST_PROFILE=1 captures a jax.profiler trace of the first epoch
             prof = (
@@ -184,10 +214,8 @@ def train_stage1(
                         mesh,
                     )
                     state, metrics = step_fn(state, batch, base_rng)
-                    for k, v in metrics.items():
-                        sums[k] = sums.get(k, 0.0) + float(v)
-                    n_batches += 1
-            means = {k: v / max(n_batches, 1) for k, v in sums.items()}
+                    pipe.push(metrics)
+            means = pipe.means()
             logger.info(
                 f"[stage1 epoch {epoch}/{epochs}] "
                 + " | ".join(f"{k}: {v:.4f}" for k, v in means.items())
@@ -491,7 +519,7 @@ def train_stage2(
                 shuffle=True,
                 seed=seed + epoch,
             )
-            loss_sum, n_batches = 0.0, 0
+            pipe = _MetricsPipe()
             for sel, valid in it:
                 batch = _device_batch(
                     {
@@ -505,9 +533,8 @@ def train_stage2(
                     mesh,
                 )
                 state, metrics = step_fn(state, images_dev, batch)
-                loss_sum += float(metrics["loss"])
-                n_batches += 1
-            loss = loss_sum / max(n_batches, 1)
+                pipe.push(metrics)
+            loss = pipe.means().get("loss", 0.0)
             logger.info(f"  tile loss: {loss:.4f}")
             logger.csv_row("tile-training", ["epoch", "tile_loss"], [epoch, loss])
             logger.scalar("tile/loss", loss, epoch)
@@ -743,8 +770,7 @@ def train_stage3(
     last_loss = None
     for epoch in range(1 + last_epoch, epochs + 1):
         try:
-            sums = {}
-            n_batches = 0
+            pipe = _MetricsPipe()
             # per-epoch seeded so a resumed run draws the same flips the
             # uninterrupted run would have at this epoch
             aug_rng = np.random.default_rng(seed + epoch)
@@ -770,10 +796,8 @@ def train_stage3(
                     mesh,
                 )
                 state, metrics = step_fn(state, batch, base_rng)
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + float(v)
-                n_batches += 1
-            means = {k: v / max(n_batches, 1) for k, v in sums.items()}
+                pipe.push(metrics)
+            means = pipe.means()
             last_loss = means.get("loss")
             logger.info(
                 f"[stage3 epoch {epoch}/{epochs}] "

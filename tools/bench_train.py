@@ -46,6 +46,9 @@ STEPS = int(os.environ.get("STEPS", "8"))
 # stage-1 images) is an artifact of the single-chip tunnel, not of the
 # framework's input pipeline (which overlaps uploads with compute on pods)
 RESIDENT = os.environ.get("RESIDENT", "") == "1"
+# PIPELINED=1: time the host-fed loop under the trainers' 2-deep deferred
+# metric fetch (trainers._MetricsPipe) instead of per-step fetch syncs
+PIPELINED = os.environ.get("PIPELINED", "") == "1"
 S1_BATCH = int(os.environ.get("S1_BATCH", "48"))
 S2_TILES = int(os.environ.get("S2_TILES", "40960"))
 S3_BATCH = int(os.environ.get("S3_BATCH", "32"))
@@ -74,6 +77,29 @@ def timed_loop(name, state, step_fn, make_args, unit_per_step):
     for _ in range(2):
         state, metrics = step_fn(state, *make_args())
         _ = float(metrics["loss"])  # scalar fetch = the only reliable sync
+    if PIPELINED:
+        # the trainer loops' _MetricsPipe discipline: batch i's scalar
+        # fetch is deferred until after batch i+1 is dispatched, so the
+        # host-fed upload overlaps device compute. Whole-loop timing (a
+        # per-step wall clock is meaningless once steps overlap); host
+        # batches pre-generated so np RNG cost doesn't pollute the rate.
+        pool = [make_args() for _ in range(4)]
+        pending = None
+        t0 = time.perf_counter()
+        for i in range(STEPS):
+            state, metrics = step_fn(state, *pool[i % 4])
+            if pending is not None:
+                _ = float(pending["loss"])
+            pending = metrics
+        _ = float(pending["loss"])
+        med = (time.perf_counter() - t0) / STEPS
+        print(
+            f"{name}: {med * 1e3:.1f} ms/step amortized over {STEPS} "
+            f"(2-deep pipelined loop) -> "
+            f"{unit_per_step / med:,.1f} {name.split('(')[1].split()[0]}/s",
+            flush=True,
+        )
+        return unit_per_step / med
     times = []
     for _ in range(STEPS):
         args = make_args()  # host RNG outside the timed region
