@@ -34,6 +34,23 @@ def _clean_counts(regs: np.ndarray) -> np.ndarray:
     ).clip(0, 1e6).astype(np.int64)
 
 
+def _pipeline2(items, dispatch):
+    """The 2-deep software pipeline shared by every host loop here: yields
+    (item, dispatch(item)) one batch BEHIND the dispatch order, so the
+    consumer's blocking device→host fetch of batch i overlaps batch i+1's
+    upload + device compute (all async in JAX until fetched). The final
+    pending batch is flushed by the generator itself — consumers cannot
+    forget it."""
+    pending = None
+    for item in items:
+        res = dispatch(item)
+        if pending is not None:
+            yield pending
+        pending = (item, res)
+    if pending is not None:
+        yield pending
+
+
 def apply_cls_limit(counts: np.ndarray, categories: np.ndarray) -> np.ndarray:
     """Clamp regressed counts into the predicted class's count range
     (reference: inference.py:78-86): if the count's bin exceeds the predicted
@@ -75,34 +92,25 @@ def inference_image(
     batches = list(BatchIterator(n, batch_size, shuffle=False))
     idx_chunks, cat_chunks, cnt_chunks = [], [], []
 
-    def drain(sel, valid, d_probs, d_regs):
-        probs = np.asarray(d_probs)
-        regs = np.asarray(d_regs)
+    def dispatch(sv):
+        sel, valid = sv
+        images = source.images[base_idx[sel]]
+        return infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
+
+    mine = (batches[b] for b in multihost.my_batches(len(batches)))
+    for (sel, valid), (d_probs, d_regs) in _pipeline2(mine, dispatch):
         keep = sel[valid]
-        cat = probs.argmax(axis=1)[valid]
+        cat = np.asarray(d_probs).argmax(axis=1)[valid]
         # a diverged regressor (nan/inf/absurd counts) must not poison the
         # downstream eval: QWK sizes its confusion matrix by max(count), so
         # an unclamped cast here turns one bad batch into a crash. 10^6 is
         # far past any LYSTO count (top bin: >200) — sane paths unchanged.
-        cnt = _clean_counts(regs[valid])
+        cnt = _clean_counts(np.asarray(d_regs)[valid])
         categories[keep] = cat
         counts[keep] = cnt
         idx_chunks.append(keep)
         cat_chunks.append(cat)
         cnt_chunks.append(cnt)
-
-    pending = None
-    for b in multihost.my_batches(len(batches)):
-        sel, valid = batches[b]
-        images = source.images[base_idx[sel]]
-        probs, regs = infer_step(
-            variables, jnp.asarray(images), jnp.asarray(flip[sel])
-        )
-        if pending is not None:
-            drain(*pending)
-        pending = (sel, valid, probs, regs)
-    if pending is not None:
-        drain(*pending)
     multihost.merge_process_rows(
         [categories, counts], idx_chunks, [cat_chunks, cnt_chunks]
     )
@@ -151,26 +159,64 @@ def inference_tiles(
     # (replaces every host redoing the full sweep)
     idx_chunks, val_chunks = [], []
 
-    def drain(sel, valid, d_probs):
+    def dispatch(sv):
+        sel, valid = sv
+        images = source.images[base_idx[sel]]
+        # flip stays a HOST array: the step dispatches flip-free batches to
+        # a specialized graph with a cheap host check (jit transfers it)
+        return infer_step(variables, jnp.asarray(images), flip[sel])
+
+    mine = (batches[b] for b in multihost.my_batches(len(batches)))
+    for (sel, valid), d_probs in _pipeline2(mine, dispatch):
         vals = np.asarray(d_probs)[valid]
         out[sel[valid]] = vals
         idx_chunks.append(sel[valid])
         val_chunks.append(vals)
-
-    pending = None
-    for b in multihost.my_batches(len(batches)):
-        sel, valid = batches[b]
-        images = source.images[base_idx[sel]]
-        # flip stays a HOST array: the step dispatches flip-free batches to
-        # a specialized graph with a cheap host check (jit transfers it)
-        probs = infer_step(variables, jnp.asarray(images), flip[sel])
-        if pending is not None:
-            drain(*pending)
-        pending = (sel, valid, probs)
-    if pending is not None:
-        drain(*pending)
     multihost.merge_process_rows([out], idx_chunks, [val_chunks])
     return out
+
+
+def iter_tiles_and_counts(
+    source,
+    tile_step,
+    image_step,
+    variables,
+    image_batch: int = 64,
+):
+    """Per-batch fused drawing sweep: yields (rows, probs, counts) one batch
+    behind the device, where rows are the batch's valid global row indices,
+    probs [B, T] float32 tile P(positive), counts [B] int64 (diverged-
+    regressor clamped, see _clean_counts).
+
+    This generator owns the fused sweep's invariants for every consumer
+    (inference_tiles_and_counts, the trainers' streamed draw_pseudo_masks):
+    each uint8 image batch crosses host→device ONCE and serves both the
+    tile sweep and the count head — on a tunneled chip the duplicate
+    ~17 MB/batch upload was most of the drawing loop's non-sweep time
+    (docs/PERF.md); the tile step receives a HOST flip array (its flip-free
+    fast-path dispatch), the image step a device one; batches round-robin
+    across processes (multihost.my_batches), so both steps must be
+    PROCESS-LOCAL plain jits.
+    """
+    n = len(source)
+    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    base_idx = getattr(source, "base_idx", np.arange(n))
+    batches = list(BatchIterator(n, image_batch, shuffle=False))
+
+    def dispatch(sv):
+        sel, valid = sv
+        dev_images = jnp.asarray(source.images[base_idx[sel]])
+        probs = tile_step(variables, dev_images, flip[sel])
+        _, regs = image_step(variables, dev_images, jnp.asarray(flip[sel]))
+        return probs, regs
+
+    mine = (batches[b] for b in multihost.my_batches(len(batches)))
+    for (sel, valid), (d_probs, d_regs) in _pipeline2(mine, dispatch):
+        yield (
+            sel[valid],
+            np.asarray(d_probs)[valid],
+            _clean_counts(np.asarray(d_regs)[valid]),
+        )
 
 
 def inference_tiles_and_counts(
@@ -187,44 +233,24 @@ def inference_tiles_and_counts(
 
     Equivalent to ``inference_tiles(...)`` followed by
     ``inference_image(...)[1]`` (reference: train_seg.py:219-276 runs these
-    as two dataloader passes), but each uint8 image batch crosses host→device
-    ONCE and serves both the tile sweep and the count head — on a tunneled
-    chip the duplicate ~17 MB/batch upload was most of the drawing loop's
-    non-sweep time (docs/PERF.md). Both steps must be PROCESS-LOCAL (plain
-    jits); batches round-robin across processes like the unfused loops.
+    as two dataloader passes) — see iter_tiles_and_counts for the fused
+    upload/pipelining contract. Used by the multi-host drawing path, which
+    must materialize full [N, T] probs to merge rows across processes.
     """
     h, w = source.image_hw
     n_t = tile_grid(h, w, tile_size, interval).shape[0]
     n = len(source)
-    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
-    base_idx = getattr(source, "base_idx", np.arange(n))
-
     probs_out = np.zeros((n, n_t), dtype=np.float32)
     counts_out = np.zeros(n, dtype=np.int64)
-    batches = list(BatchIterator(n, image_batch, shuffle=False))
     idx_chunks, val_chunks, cnt_chunks = [], [], []
-
-    def drain(sel, valid, d_probs, d_regs):
-        keep = sel[valid]
-        vals = np.asarray(d_probs)[valid]
-        cnt = _clean_counts(np.asarray(d_regs)[valid])
-        probs_out[keep] = vals
-        counts_out[keep] = cnt
-        idx_chunks.append(keep)
+    for rows, vals, cnt in iter_tiles_and_counts(
+        source, tile_step, image_step, variables, image_batch=image_batch
+    ):
+        probs_out[rows] = vals
+        counts_out[rows] = cnt
+        idx_chunks.append(rows)
         val_chunks.append(vals)
         cnt_chunks.append(cnt)
-
-    pending = None
-    for b in multihost.my_batches(len(batches)):
-        sel, valid = batches[b]
-        dev_images = jnp.asarray(source.images[base_idx[sel]])
-        probs = tile_step(variables, dev_images, flip[sel])
-        _, regs = image_step(variables, dev_images, jnp.asarray(flip[sel]))
-        if pending is not None:
-            drain(*pending)
-        pending = (sel, valid, probs, regs)
-    if pending is not None:
-        drain(*pending)
     multihost.merge_process_rows(
         [probs_out, counts_out], idx_chunks, [val_chunks, cnt_chunks]
     )
@@ -313,16 +339,13 @@ def inference_seg(
     flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
     base_idx = getattr(source, "base_idx", np.arange(n))
     out = np.zeros((n, h, w), dtype=np.float32)
-    it = BatchIterator(n, batch_size, shuffle=False)
-    pending = None
-    for sel, valid in it:
+
+    def dispatch(sv):
+        sel, valid = sv
         images = source.images[base_idx[sel]]
-        masks = infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
-        if pending is not None:
-            psel, pvalid, pmasks = pending
-            out[psel[pvalid]] = np.asarray(pmasks)[pvalid]
-        pending = (sel, valid, masks)
-    if pending is not None:
-        psel, pvalid, pmasks = pending
-        out[psel[pvalid]] = np.asarray(pmasks)[pvalid]
+        return infer_step(variables, jnp.asarray(images), jnp.asarray(flip[sel]))
+
+    it = BatchIterator(n, batch_size, shuffle=False)
+    for (sel, valid), d_masks in _pipeline2(it, dispatch):
+        out[sel[valid]] = np.asarray(d_masks)[valid]
     return out

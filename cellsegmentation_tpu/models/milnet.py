@@ -49,6 +49,21 @@ SEG_KEY = "seg_decoder"
 PARTITIONS = (ENCODER_KEY, TILE_KEY, IMAGE_CLS_KEY, IMAGE_REG_KEY, SEG_KEY)
 
 
+def pin_constant_count_head(variables: dict, value: float = 5.0) -> None:
+    """Pin the image-regression head to a constant: zero its final Dense
+    kernel and set the bias to ``value`` (in place).
+
+    Test/bench fixture utility: a random-init head emits large-negative
+    pre-relu activations on real images, so counts round to 0 and the
+    stage-3 artifact-clearing gate (counts != 0) drops every tile, making
+    drawing-path fixtures vacuous.
+    """
+    reg = variables["params"][IMAGE_REG_KEY]
+    last = sorted(k for k in reg if k.startswith("Dense"))[-1]
+    reg[last]["kernel"] = reg[last]["kernel"] * 0.0
+    reg[last]["bias"] = reg[last]["bias"] * 0.0 + value
+
+
 class MILNet(nn.Module):
     """Encoder + {tile, image-cls, image-reg, seg} heads.
 

@@ -74,6 +74,33 @@ def preprocess_masks_batch(images: np.ndarray, masks: np.ndarray) -> np.ndarray:
     return remove_small_regions_batch(refined, 400, 120)
 
 
+def save_mask_pairs(
+    output_path: str,
+    rows: np.ndarray,
+    images: np.ndarray,
+    masks: np.ndarray,
+) -> None:
+    """Write the rgb/{row+1:05}.png + mask/{row+1:05}.png pair trees (the
+    reference's pseudomask layout, utils/image_processing.py:100-110).
+    ``rows`` are GLOBAL 0-based row indices for the [B, ...] images/masks:
+    streamed callers (trainers.draw_pseudo_masks) pass each batch's rows so
+    uneven batches keep the same global 1-based naming a whole-set save
+    produces."""
+    import cv2
+
+    os.makedirs(os.path.join(output_path, "rgb"), exist_ok=True)
+    os.makedirs(os.path.join(output_path, "mask"), exist_ok=True)
+    for j, row in enumerate(np.asarray(rows)):
+        cv2.imwrite(
+            os.path.join(output_path, f"rgb/{row + 1:05}.png"),
+            cv2.cvtColor(images[j], cv2.COLOR_RGB2BGR),
+        )
+        cv2.imwrite(
+            os.path.join(output_path, f"mask/{row + 1:05}.png"),
+            (masks[j] * 255).astype(np.uint8),
+        )
+
+
 def generate_masks(
     images: np.ndarray,
     groups: np.ndarray,
@@ -95,19 +122,7 @@ def generate_masks(
         masks = preprocess_masks_batch(images, masks)
 
     if save_masks:
-        import cv2
-
-        os.makedirs(os.path.join(output_path, "rgb"), exist_ok=True)
-        os.makedirs(os.path.join(output_path, "mask"), exist_ok=True)
-        for i in range(len(images)):
-            cv2.imwrite(
-                os.path.join(output_path, f"rgb/{i + 1:05}.png"),
-                cv2.cvtColor(images[i], cv2.COLOR_RGB2BGR),
-            )
-            cv2.imwrite(
-                os.path.join(output_path, f"mask/{i + 1:05}.png"),
-                (masks[i] * 255).astype(np.uint8),
-            )
+        save_mask_pairs(output_path, np.arange(len(images)), images, masks)
     return masks.astype(np.uint8)
 
 

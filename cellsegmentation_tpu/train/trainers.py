@@ -622,6 +622,7 @@ def draw_pseudo_masks(
         generate_masks,
         paint_tile_blocks,
         preprocess_masks_batch,
+        save_mask_pairs,
     )
 
     logger = logger or RunLogger(output_path or "./output")
@@ -664,58 +665,31 @@ def draw_pseudo_masks(
             output_path=output_path or "./data/pseudomask",
         )
 
-    # single process: streamed threshold/clear/paint per batch
-    flip = getattr(source, "flip_code", np.zeros(n, dtype=np.int32))
+    # single process: streamed threshold/clear/paint per batch — the host
+    # paints/refines/saves batch i while the device sweeps batch i+1
+    # (infer.iter_tiles_and_counts owns the fused upload + 2-deep pipeline)
     masks = np.zeros((n, h, w), dtype=np.uint8)
     kept_tiles = 0
     kept_images = 0
-    if output_path:
-        import cv2
-
-        os.makedirs(os.path.join(output_path, "rgb"), exist_ok=True)
-        os.makedirs(os.path.join(output_path, "mask"), exist_ok=True)
-
-    def drain(sel, valid, imgs, d_probs, d_regs):
-        nonlocal kept_tiles, kept_images
-        keep = np.asarray(d_probs)[valid] > threshold
-        counts = infer._clean_counts(np.asarray(d_regs)[valid])
-        keep &= (counts != 0)[:, None]
+    for rows, probs_b, counts_b in infer.iter_tiles_and_counts(
+        source, infer_tiles_fn, infer_image_fn, variables,
+        image_batch=image_batch,
+    ):
+        keep = probs_b > threshold  # (reference rank(): lexsort + filter)
+        # artifact clearing: predicted count == 0 → drop the image's tiles
+        keep &= (counts_b != 0)[:, None]
         groups, tile_idx = np.nonzero(keep)
         kept_tiles += len(groups)
         kept_images += len(np.unique(groups))
-        imgs = imgs[valid]
+        imgs = source.images[base_idx[rows]]
         m = paint_tile_blocks(
             len(imgs), (h, w), groups, coords[tile_idx], tile_size
         )
         if preprocess:
             m = preprocess_masks_batch(imgs, m)
-        rows = sel[valid]
         masks[rows] = m.astype(np.uint8)
         if output_path:
-            # same global 1-based naming as generate_masks' saver
-            for j, row in enumerate(rows):
-                cv2.imwrite(
-                    os.path.join(output_path, f"rgb/{row + 1:05}.png"),
-                    cv2.cvtColor(imgs[j], cv2.COLOR_RGB2BGR),
-                )
-                cv2.imwrite(
-                    os.path.join(output_path, f"mask/{row + 1:05}.png"),
-                    (m[j] * 255).astype(np.uint8),
-                )
-
-    pending = None
-    for sel, valid in BatchIterator(n, image_batch, shuffle=False):
-        imgs = source.images[base_idx[sel]]
-        dev_images = jnp.asarray(imgs)
-        d_probs = infer_tiles_fn(variables, dev_images, flip[sel])
-        _, d_regs = infer_image_fn(
-            variables, dev_images, jnp.asarray(flip[sel])
-        )
-        if pending is not None:
-            drain(*pending)
-        pending = (sel, valid, imgs, d_probs, d_regs)
-    if pending is not None:
-        drain(*pending)
+            save_mask_pairs(output_path, rows, imgs, m)
     logger.info(
         f"pseudo-masks: {kept_tiles} tiles kept on {kept_images}/{n} images"
     )

@@ -21,6 +21,7 @@ from cellsegmentation_tpu.models.milnet import (
     IMAGE_CLS_KEY,
     IMAGE_REG_KEY,
     TILE_KEY,
+    pin_constant_count_head,
 )
 from cellsegmentation_tpu.train import checkpoint as ckpt_mod
 from cellsegmentation_tpu.train.trainers import (
@@ -164,14 +165,9 @@ def test_streamed_draw_matches_unfused_composition(pipeline_dir, tmp_path):
     src = LystoDataSource(h5, train=True, kfold=None)
     model = build_model("resnet18")
     variables = init_variables(model, jax.random.PRNGKey(3))
-    # the random-init regressor's artifact-clearing gate would keep nothing
-    # (pre-relu activations on real images are large-negative): pin the
-    # final Dense to a constant 5.0 so every image has count 5 and the kept
-    # set is non-trivial
-    reg = variables["params"][IMAGE_REG_KEY]
-    last = sorted(k for k in reg if k.startswith("Dense"))[-1]
-    reg[last]["kernel"] = reg[last]["kernel"] * 0.0
-    reg[last]["bias"] = reg[last]["bias"] + 5.0
+    # the random-init regressor's artifact-clearing gate would keep nothing:
+    # pin every image's count to 5 so the kept set is non-trivial
+    pin_constant_count_head(variables)
     ts, iv, thresh = 8, 4, 0.3
     logger = RunLogger(str(tmp_path), tensorboard=False)
 

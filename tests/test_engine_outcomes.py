@@ -127,15 +127,10 @@ def test_engine_outcomes_match_flax(tmp_path, monkeypatch):
     # underfit count head predicts 0 everywhere, which would void the mask
     # comparison. The gate's behavior is covered by tests/test_trainers.py
     # and the hardware harness (tools/pipeline_ab.py: count==0 on 25/48).
-    real_inference_image = infer.inference_image
+    # both drawing paths (streamed single-process and fused multi-host)
+    # derive counts via infer._clean_counts, so patching it to all-ones
+    # neutralizes the gate everywhere
     real_clean_counts = infer._clean_counts
-    monkeypatch.setattr(
-        infer, "inference_image",
-        lambda src, *a, **k: (np.ones(len(src), np.int64),
-                              np.ones(len(src), np.int64)),
-    )
-    # the single-process streamed drawing path computes counts inline via
-    # _clean_counts rather than calling inference_image: neutralize it too
     monkeypatch.setattr(
         infer, "_clean_counts",
         lambda regs: np.ones(len(regs), np.int64),
@@ -147,7 +142,6 @@ def test_engine_outcomes_match_flax(tmp_path, monkeypatch):
         )
         for eng in ("flax", "q8dg")
     }
-    monkeypatch.setattr(infer, "inference_image", real_inference_image)
     monkeypatch.setattr(infer, "_clean_counts", real_clean_counts)
     ma, mb = masks["flax"] > 0, masks["q8dg"] > 0
     assert ma.any() and mb.any()

@@ -61,12 +61,9 @@ src = LystoDataSource(f"{d}/training.h5", train=True, kfold=None, seed=0)
 model = build_model("resnet50")
 variables = init_variables(model, jax.random.PRNGKey(0))
 if BIAS_COUNTS:
-    from cellsegmentation_tpu.models.milnet import IMAGE_REG_KEY
+    from cellsegmentation_tpu.models.milnet import pin_constant_count_head
 
-    reg = variables["params"][IMAGE_REG_KEY]
-    last = sorted(k for k in reg if k.startswith("Dense"))[-1]
-    reg[last]["kernel"] = reg[last]["kernel"] * 0.0
-    reg[last]["bias"] = reg[last]["bias"] + 5.0
+    pin_constant_count_head(variables)
 logger = RunLogger(d, tensorboard=False)
 
 ENGINE = os.environ.get("ENGINE", "auto")

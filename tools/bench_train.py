@@ -78,11 +78,14 @@ def timed_loop(name, state, step_fn, make_args, unit_per_step):
         state, metrics = step_fn(state, *make_args())
         _ = float(metrics["loss"])  # scalar fetch = the only reliable sync
     if PIPELINED:
-        # the trainer loops' _MetricsPipe discipline: batch i's scalar
-        # fetch is deferred until after batch i+1 is dispatched, so the
-        # host-fed upload overlaps device compute. Whole-loop timing (a
-        # per-step wall clock is meaningless once steps overlap); host
-        # batches pre-generated so np RNG cost doesn't pollute the rate.
+        # replicates (by hand — the benchmark threads donated state
+        # through a timed loop, which the epoch-scoped trainers helper
+        # doesn't expose) the trainer loops' _MetricsPipe discipline:
+        # batch i's scalar fetch is deferred until after batch i+1 is
+        # dispatched, so the host-fed upload overlaps device compute.
+        # Whole-loop timing (a per-step wall clock is meaningless once
+        # steps overlap); host batches pre-generated so np RNG cost
+        # doesn't pollute the rate.
         pool = [make_args() for _ in range(4)]
         pending = None
         t0 = time.perf_counter()
